@@ -1,0 +1,175 @@
+"""Seed index + candidate-diagonal selection (bowtie2/BLAT seeding replaced).
+
+The reference shells out to bowtie2 (FM-index) / BLAT for seeding+alignment
+(AlignGraph.cpp:3581-3656).  Our TPU-native equivalent is a sorted k-mer
+position index over the concatenated genome axis:
+
+ - build (host, numpy): pack every `seed_len`-mer (2-bit codes) into int32,
+   drop windows containing N, sort by packed value -> (sorted_kmers,
+   sorted_pos).  One-time cost per reference genome.
+ - lookup (device, XLA): `searchsorted` of query seed packs into the sorted
+   array, gather up to `max_hits` positions per seed.
+ - candidate selection (device): per read, cluster hit diagonals
+   (genome_pos - read_offset) within `band_pad` and emit the top
+   `max_candidates` clusters by vote count (deterministic tie-break on
+   diagonal).
+
+seed_len must be <= 15 so a packed seed fits in a non-negative int32.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+INVALID_DIAG = np.int32(2**31 - 1)
+
+
+@dataclasses.dataclass
+class SeedIndex:
+    seed_len: int
+    genome_len: int
+    sorted_kmers: jax.Array   # [M] int32, ascending
+    sorted_pos: jax.Array     # [M] int32 genome position of each k-mer
+
+    @property
+    def n_kmers(self) -> int:
+        return int(self.sorted_kmers.shape[0])
+
+
+def pack_kmers_np(codes: np.ndarray, seed_len: int):
+    """All overlapping seed_len-mers of `codes` -> (packed int32, valid bool).
+
+    packed[i] encodes codes[i:i+seed_len] big-endian 2 bits/base; windows
+    containing N (code>=4) are invalid.
+    """
+    n = len(codes)
+    m = n - seed_len + 1
+    if m <= 0:
+        return (np.zeros(0, np.int32), np.zeros(0, bool))
+    c = codes.astype(np.int64)
+    packed = np.zeros(m, dtype=np.int64)
+    invalid = np.zeros(m, dtype=bool)
+    for k in range(seed_len):
+        w = c[k:k + m]
+        packed = (packed << 2) | np.where(w >= 4, 0, w)
+        invalid |= w >= 4
+    return packed.astype(np.int32), ~invalid
+
+
+def build_index(genome_codes: np.ndarray, seed_len: int = 15) -> SeedIndex:
+    """Host-side one-time index build over the concatenated genome."""
+    if seed_len > 15:
+        raise ValueError("seed_len must be <= 15 (int32 packing)")
+    packed, valid = pack_kmers_np(genome_codes, seed_len)
+    pos = np.nonzero(valid)[0].astype(np.int32)
+    kmers = packed[pos]
+    order = np.argsort(kmers, kind="stable")
+    return SeedIndex(
+        seed_len=seed_len,
+        genome_len=int(len(genome_codes)),
+        sorted_kmers=jnp.asarray(kmers[order]),
+        sorted_pos=jnp.asarray(pos[order]),
+    )
+
+
+def pack_query_seeds(seqs: jax.Array, seed_len: int, stride: int):
+    """Device: pack seeds at `stride` offsets from padded reads [R, L].
+
+    Returns (packed [R, S] int32, offsets [S] int32, valid [R, S] bool);
+    seeds whose window contains a pad/N code are invalid.
+    """
+    R, L = seqs.shape
+    offsets = jnp.arange(0, max(L - seed_len + 1, 1), stride, dtype=jnp.int32)
+    S = offsets.shape[0]
+    idx = offsets[:, None] + jnp.arange(seed_len, dtype=jnp.int32)[None, :]
+    win = seqs[:, idx]                       # [R, S, seed_len]
+    w = win.astype(jnp.int32)
+    invalid = jnp.any(w >= 4, axis=-1)
+    w = jnp.where(w >= 4, 0, w)
+    shifts = (2 * (seed_len - 1 - jnp.arange(seed_len)))[None, None, :]
+    packed = jnp.sum(w << shifts, axis=-1).astype(jnp.int32)
+    return packed, offsets, ~invalid
+
+
+@partial(jax.jit, static_argnames=("max_hits",))
+def lookup_seeds(sorted_kmers, sorted_pos, packed, valid, max_hits: int):
+    """For each query seed return up to max_hits genome positions.
+
+    Seeds with more than max_hits occurrences are *dropped entirely*
+    (repetitive-seed policy, analogous to aligner multiseed filters) —
+    this keeps candidate selection deterministic and bounded.
+
+    packed/valid: [R, S].  Returns hit positions [R, S, max_hits] int32
+    with -1 for misses.
+    """
+    M = sorted_kmers.shape[0]
+    lo = jnp.searchsorted(sorted_kmers, packed, side="left").astype(jnp.int32)
+    hi = jnp.searchsorted(sorted_kmers, packed, side="right").astype(jnp.int32)
+    count = hi - lo
+    take = lo[..., None] + jnp.arange(max_hits, dtype=jnp.int32)
+    ok = (
+        valid[..., None]
+        & (count[..., None] <= max_hits)
+        & (jnp.arange(max_hits) < count[..., None])
+    )
+    pos = sorted_pos[jnp.clip(take, 0, M - 1)]
+    return jnp.where(ok, pos, -1)
+
+
+@partial(jax.jit, static_argnames=("band_pad", "max_candidates"))
+def select_candidates(hit_pos, seed_offsets, band_pad: int,
+                      max_candidates: int):
+    """Cluster hit diagonals per read -> top candidate diagonals.
+
+    hit_pos: [R, S, H] genome positions (-1 = miss);
+    seed_offsets: [S] read offsets of each seed.
+    Returns (diags [R, C] int32 = genome position aligned to read base 0,
+    votes [R, C] int32); empty slots have diag=INVALID_DIAG, votes=0.
+
+    Clustering: sort diagonals; a new cluster starts when the gap to the
+    previous diagonal exceeds band_pad; cluster vote = size; representative
+    diagonal = cluster minimum (deterministic).  Top-C by (votes desc,
+    diag asc).
+    """
+    R, S, H = hit_pos.shape
+    diag = jnp.where(
+        hit_pos >= 0,
+        hit_pos - seed_offsets[None, :, None].astype(jnp.int32),
+        INVALID_DIAG,
+    ).reshape(R, S * H)
+    diag = jnp.sort(diag, axis=1)
+    prev = jnp.concatenate(
+        [jnp.full((R, 1), -(2**31), jnp.int32) + 0, diag[:, :-1]], axis=1)
+    is_valid = diag != INVALID_DIAG
+    new_cluster = is_valid & ((diag - prev) > band_pad)
+    # cluster representative: first element of the cluster (min diag)
+    cluster_id = jnp.cumsum(new_cluster.astype(jnp.int32), axis=1)  # 1-based
+    # votes per element's cluster via segment trick: count elements sharing id
+    # (S*H is small; use one-hot matmul-free approach with sorted equality)
+    # votes[i] = number of valid elements with same cluster_id
+    max_cl = S * H
+    cl = jnp.where(is_valid, cluster_id, 0)
+    counts = jax.vmap(
+        lambda c, v: jnp.bincount(c, weights=v.astype(jnp.int32),
+                                  length=max_cl + 1)
+    )(cl, is_valid)
+    rep_diag = jax.vmap(
+        lambda c, d, nc: jnp.full(max_cl + 1, INVALID_DIAG, jnp.int32).at[
+            jnp.where(nc, c, max_cl)].min(jnp.where(nc, d, INVALID_DIAG))
+    )(cl, diag, new_cluster)
+    votes = counts.astype(jnp.int32)
+    votes = votes.at[:, 0].set(0)  # slot 0 = invalid bucket
+    # rank clusters: by votes desc then rep_diag asc; take top C
+    order_key = (-votes.astype(jnp.int64) << 32) | (
+        rep_diag.astype(jnp.int64) & 0xFFFFFFFF)
+    order = jnp.argsort(order_key, axis=1)
+    topk = order[:, :max_candidates]
+    out_votes = jnp.take_along_axis(votes, topk, axis=1)
+    out_diag = jnp.take_along_axis(rep_diag, topk, axis=1)
+    out_diag = jnp.where(out_votes > 0, out_diag, INVALID_DIAG)
+    return out_diag, out_votes

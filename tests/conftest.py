@@ -3,7 +3,9 @@ tests run without TPU hardware (set BEFORE jax import)."""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force-override: the machine environment presets JAX_PLATFORMS=axon (the
+# real TPU tunnel); tests must run on the virtual CPU mesh.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

@@ -1,0 +1,266 @@
+"""In-engine PE short-read aligner — the bowtie2 replacement (C5).
+
+Reference invocation being replaced (AlignGraph.cpp:3601-3609):
+  bowtie2 -f --no-mixed -k 5 --local --mp 3,1 --rdg 2,1 --rfg 2,1
+          --score-min G,5,2 -I distanceLow -X distanceHigh
+          --no-discordant --reorder
+
+TPU-native pipeline (all device work under jit, static shapes):
+  1. both orientations of every mate (fwd + revcomp)
+  2. seed lookup in the sorted k-mer genome index (ops/seeding.py)
+  3. candidate diagonals by clustered seed votes
+  4. banded affine local SW + exact traceback (ops/banded_sw.py)
+  5. per-candidate parse quantities (parseBOWTIE equivalents)
+  6. PE pairing: opposite strands, facing orientation, fragment length in
+     [distanceLow, distanceHigh] (-I/-X), per-mate score >= 5 + 2*ln(len)
+     (--score-min G,5,2), top-K pairs by combined score (-k 5),
+     deterministic tie-break (fragment start, then end)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from aligngraph_tpu.align.types import PairAlignments
+from aligngraph_tpu.config import Config
+from aligngraph_tpu.io.formalize import Reads
+from aligngraph_tpu.ops.banded_sw import banded_sw, sw_traceback
+from aligngraph_tpu.ops.seeding import (
+    INVALID_DIAG, SeedIndex, build_index, lookup_seeds, pack_query_seeds,
+    select_candidates,
+)
+
+SCORE_MIN_CONST = 5.0   # bowtie2 --score-min G,5,2
+SCORE_MIN_COEFF = 2.0
+MAX_PAIR_HITS = 5       # bowtie2 -k 5
+
+_COMP = jnp.array([3, 2, 1, 0, 4], dtype=jnp.int8)
+
+
+def _revcomp_padded(seqs: jax.Array, lens: jax.Array) -> jax.Array:
+    """Reverse-complement padded reads: rc[i] = comp(seq[len-1-i]) for
+    i < len, pad 4 beyond."""
+    R, L = seqs.shape
+    idx = lens[:, None] - 1 - jnp.arange(L, dtype=jnp.int32)[None, :]
+    ok = idx >= 0
+    vals = jnp.take_along_axis(seqs, jnp.clip(idx, 0, L - 1), axis=1)
+    return jnp.where(ok, _COMP[vals.astype(jnp.int32)], jnp.int8(4))
+
+
+def _candidate_stats(pos_map, qlens):
+    """parseBOWTIE-equivalent quantities from a position map.
+
+    Returns dict of [B] arrays: src_start/src_end/src_gap (I), tgt_start,
+    tgt_end (reference formula ts + size + D - I, AlignGraph.cpp:282),
+    tgt_gap (D), match count.
+    """
+    B, L = pos_map.shape
+    aligned = pos_map >= 0
+    m = jnp.sum(aligned, axis=1).astype(jnp.int32)
+    idx = jnp.arange(L, dtype=jnp.int32)[None, :]
+    big = jnp.int32(2**30)
+    ss = jnp.min(jnp.where(aligned, idx, big), axis=1)
+    se = jnp.max(jnp.where(aligned, idx + 1, -1), axis=1)
+    ss = jnp.where(m > 0, ss, 0)
+    se = jnp.where(m > 0, se, 0)
+    ins = (se - ss) - m
+    ts = jnp.min(jnp.where(aligned, pos_map, big), axis=1)
+    tea = jnp.max(jnp.where(aligned, pos_map + 1, -1), axis=1)
+    ts = jnp.where(m > 0, ts, -1)
+    tea = jnp.where(m > 0, tea, -1)
+    dele = jnp.where(m > 0, (tea - ts) - m, 0)
+    te_ref = jnp.where(m > 0, ts + qlens + dele - ins, -1)
+    return dict(match=m, src_start=ss, src_end=se, src_gap=ins,
+                tgt_start=ts, tgt_end_actual=tea, tgt_end=te_ref,
+                tgt_gap=dele)
+
+
+@dataclasses.dataclass
+class ReadAligner:
+    """Holds the genome on device + seed index; aligns batches of pairs."""
+    genome: jax.Array          # [G] int8
+    index: SeedIndex
+    cfg: Config
+    batch_pairs: int = 2048
+
+    @classmethod
+    def build(cls, genome_codes: np.ndarray, cfg: Config,
+              batch_pairs: int = 2048) -> "ReadAligner":
+        idx = build_index(genome_codes, cfg.seed_len)
+        return cls(genome=jnp.asarray(genome_codes), index=idx, cfg=cfg,
+                   batch_pairs=batch_pairs)
+
+    # ------------------------------------------------------------------
+    def align(self, reads: Reads) -> PairAlignments:
+        """Align all pairs; returns accepted pair alignments (host SoA)."""
+        cfg = self.cfg
+        P = self.batch_pairs
+        L = max(reads.max_len, cfg.seed_len)
+        n = reads.n_pairs
+        out_chunks = []
+        for start in range(0, max(n, 1), P):
+            cnt = min(P, n - start) if n else 0
+            seqs = np.full((2 * P, L), 4, np.int8)
+            plens = np.zeros(P, np.int32)
+            if cnt > 0:
+                blk = reads.data[2 * start:2 * (start + cnt)]
+                seqs[:2 * cnt, :blk.shape[1]] = blk
+                plens[:cnt] = reads.lengths[start:start + cnt]
+            res = _align_pairs_device(
+                self.genome, self.index.sorted_kmers, self.index.sorted_pos,
+                jnp.asarray(seqs), jnp.asarray(plens),
+                seed_len=cfg.seed_len, stride=cfg.seed_stride,
+                pad=cfg.band_pad, C=cfg.max_candidates,
+                K=MAX_PAIR_HITS, dlow=cfg.distance_low,
+                dhigh=cfg.distance_high)
+            res = jax.tree_util.tree_map(np.asarray, res)
+            valid = res["valid"]  # [P, K]
+            p_ids, k_ids = np.nonzero(valid[:cnt] if cnt else valid[:0])
+            sel = (p_ids, k_ids)
+            out_chunks.append(dict(
+                pair_id=(p_ids + start).astype(np.int32),
+                fr=res["fr"][sel],
+                score=res["score"][sel],
+                source_start=res["src_start"][sel],
+                source_end=res["src_end"][sel],
+                source_gap=res["src_gap"][sel],
+                source_size=res["src_size"][sel],
+                target_start=res["tgt_start"][sel],
+                target_end=res["tgt_end"][sel],
+                target_gap=res["tgt_gap"][sel],
+                pos_map=res["pos_map"][sel],
+            ))
+        cat = {k: np.concatenate([c[k] for c in out_chunks])
+               for k in out_chunks[0]}
+        return PairAlignments(**cat)
+
+
+@partial(jax.jit, static_argnames=("seed_len", "stride", "pad", "C", "K",
+                                   "dlow", "dhigh"))
+def _align_pairs_device(genome, sorted_kmers, sorted_pos, seqs, plens, *,
+                        seed_len, stride, pad, C, K, dlow, dhigh):
+    """One batch of P pairs -> top-K pair alignments per pair."""
+    G = genome.shape[0]
+    R, L = seqs.shape            # R = 2P (mate-interleaved)
+    P = R // 2
+    W = 2 * pad
+    WL = L + W
+    rlens = jnp.repeat(plens, 2)                     # [R]
+    rc = _revcomp_padded(seqs, rlens)
+    qseqs = jnp.concatenate([seqs, rc])              # [2R, L]
+    qlens = jnp.concatenate([rlens, rlens])
+
+    # --- seeding ---
+    packed, offs, valid = pack_query_seeds(qseqs, seed_len, stride)
+    valid = valid & (offs[None, :] <= (qlens[:, None] - seed_len))
+    hits = lookup_seeds(sorted_kmers, sorted_pos, packed, valid, 16)
+    diags, votes = select_candidates(hits, offs, pad, C)   # [2R, C]
+
+    # --- DP on all candidates ---
+    diag_f = diags.reshape(-1)                       # [2R*C]
+    cvalid = diag_f != INVALID_DIAG
+    diag_safe = jnp.where(cvalid, diag_f, 0)
+    qidx = jnp.repeat(jnp.arange(2 * R, dtype=jnp.int32), C)
+    x = (diag_safe[:, None] - pad
+         + jnp.arange(WL, dtype=jnp.int32)[None, :])
+    windows = jnp.where((x >= 0) & (x < G),
+                        genome[jnp.clip(x, 0, G - 1)], jnp.int8(4))
+    creads = qseqs[qidx]
+    clens = qlens[qidx]
+    res = banded_sw(creads, jnp.where(cvalid, clens, 0), windows, pad=pad)
+    pos_map = sw_traceback(res.tb, res.best_i, res.best_b, diag_safe,
+                           pad=pad)                  # [2R*C, L]
+    st = _candidate_stats(pos_map, clens)
+    score = jnp.where(cvalid, res.score, -1)
+    score_min = jnp.ceil(
+        SCORE_MIN_CONST
+        + SCORE_MIN_COEFF * jnp.log(jnp.maximum(clens, 2).astype(jnp.float32))
+    ).astype(jnp.int32)
+    good = cvalid & (score >= score_min) & (st["match"] > 0)
+
+    # --- per-mate candidate tables [P, 2, 2C] ---
+    # flattened candidate index for (read r, orientation o, cand c):
+    #   (o * R + r) * C + c
+    r_ids = (2 * jnp.arange(P, dtype=jnp.int32)[:, None, None]
+             + jnp.arange(2, dtype=jnp.int32)[None, :, None])   # [P,2,1]
+    o_ids = (jnp.arange(2 * C, dtype=jnp.int32) // C)[None, None, :]
+    c_ids = (jnp.arange(2 * C, dtype=jnp.int32) % C)[None, None, :]
+    cand = (o_ids * R + r_ids) * C + c_ids           # [P, 2, 2C]
+    m_fr = o_ids.astype(jnp.int8) * jnp.ones_like(cand, jnp.int8)
+    m_good = good[cand]
+    m_score = score[cand]
+    m_ts = st["tgt_start"][cand]
+    m_tea = st["tgt_end_actual"][cand]
+    # dedup identical placements (same tgt_start & fr, earlier slot wins)
+    same = ((m_ts[..., None, :] == m_ts[..., :, None])
+            & (m_fr[..., None, :] == m_fr[..., :, None])
+            & m_good[..., None, :] & m_good[..., :, None])
+    j = jnp.arange(2 * C)
+    earlier = j[None, :] < j[:, None]                # [2C, 2C] j' < j
+    dup = jnp.any(same & earlier[None, None, :, :], axis=-1)
+    m_good = m_good & ~dup
+
+    # --- pairing [P, 2C, 2C] ---
+    g1 = m_good[:, 0, :, None]
+    g2 = m_good[:, 1, None, :]
+    fr1 = m_fr[:, 0, :, None]
+    fr2 = m_fr[:, 1, None, :]
+    ts1 = m_ts[:, 0, :, None]
+    ts2 = m_ts[:, 1, None, :]
+    te1 = m_tea[:, 0, :, None]
+    te2 = m_tea[:, 1, None, :]
+    s1 = m_score[:, 0, :, None]
+    s2 = m_score[:, 1, None, :]
+    opp = fr1 != fr2
+    ts_fwd = jnp.where(fr1 == 0, ts1, ts2)
+    ts_rev = jnp.where(fr1 == 0, ts2, ts1)
+    lo = jnp.minimum(ts1, ts2)
+    hi = jnp.maximum(te1, te2)
+    frag = hi - lo
+    ok = (g1 & g2 & opp & (ts_fwd <= ts_rev)
+          & (frag >= dlow) & (frag <= dhigh))
+    total = jnp.where(ok, s1 + s2, -1)
+    # rank: total desc, then fragment-start asc (deterministic); composed
+    # stable argsorts instead of a packed int64 key (x64 disabled)
+    big = jnp.int32(2**30)
+    key_lo = jnp.where(ok, lo, big).reshape(P, -1)
+    key_sc = jnp.where(ok, -total, big).reshape(P, -1)
+    o1 = jnp.argsort(key_lo, axis=1, stable=True)
+    o2 = jnp.argsort(jnp.take_along_axis(key_sc, o1, axis=1), axis=1,
+                     stable=True)
+    order = jnp.take_along_axis(o1, o2, axis=1)[:, :K]   # [P, K]
+    kvalid = jnp.take_along_axis(ok.reshape(P, -1), order, axis=1)
+    j1 = order // (2 * C)
+    j2 = order % (2 * C)
+
+    def gather_mate(arr, jm, mate):
+        # arr: [P, 2, 2C] -> [P, K]
+        return jnp.take_along_axis(arr[:, mate, :], jm, axis=1)
+
+    out = {}
+    cand1 = gather_mate(cand, j1, 0)                 # flat candidate ids
+    cand2 = gather_mate(cand, j2, 1)
+    both = jnp.stack([cand1, cand2], axis=-1)        # [P, K, 2]
+
+    def pick(a):
+        return a[both]
+
+    out["valid"] = kvalid
+    out["fr"] = jnp.stack([gather_mate(m_fr, j1, 0),
+                           gather_mate(m_fr, j2, 1)], axis=-1)
+    out["score"] = pick(score)
+    out["src_start"] = pick(st["src_start"])
+    out["src_end"] = pick(st["src_end"])
+    out["src_gap"] = pick(st["src_gap"])
+    out["src_size"] = pick(clens)
+    out["tgt_start"] = pick(st["tgt_start"])
+    out["tgt_end"] = pick(st["tgt_end"])
+    out["tgt_gap"] = pick(st["tgt_gap"])
+    out["pos_map"] = pos_map[both]                   # [P, K, 2, L]
+    return out

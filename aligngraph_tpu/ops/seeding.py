@@ -144,7 +144,7 @@ def select_candidates(hit_pos, seed_offsets, band_pad: int,
     ).reshape(R, S * H)
     diag = jnp.sort(diag, axis=1)
     prev = jnp.concatenate(
-        [jnp.full((R, 1), -(2**31), jnp.int32) + 0, diag[:, :-1]], axis=1)
+        [jnp.full((R, 1), -(2**30), jnp.int32), diag[:, :-1]], axis=1)
     is_valid = diag != INVALID_DIAG
     new_cluster = is_valid & ((diag - prev) > band_pad)
     # cluster representative: first element of the cluster (min diag)
@@ -164,10 +164,13 @@ def select_candidates(hit_pos, seed_offsets, band_pad: int,
     )(cl, diag, new_cluster)
     votes = counts.astype(jnp.int32)
     votes = votes.at[:, 0].set(0)  # slot 0 = invalid bucket
-    # rank clusters: by votes desc then rep_diag asc; take top C
-    order_key = (-votes.astype(jnp.int64) << 32) | (
-        rep_diag.astype(jnp.int64) & 0xFFFFFFFF)
-    order = jnp.argsort(order_key, axis=1)
+    # rank clusters by (votes desc, rep_diag asc): composed stable argsorts
+    # (int64 keys are unavailable without x64; two stable passes give the
+    # same lexicographic order)
+    o1 = jnp.argsort(rep_diag, axis=1, stable=True)
+    neg_votes = jnp.take_along_axis(-votes, o1, axis=1)
+    o2 = jnp.argsort(neg_votes, axis=1, stable=True)
+    order = jnp.take_along_axis(o1, o2, axis=1)
     topk = order[:, :max_candidates]
     out_votes = jnp.take_along_axis(votes, topk, axis=1)
     out_diag = jnp.take_along_axis(rep_diag, topk, axis=1)

@@ -1,0 +1,104 @@
+"""Read aligner end-to-end on simulated data: seeds -> DP -> pairing."""
+
+import numpy as np
+
+from aligngraph_tpu.align.read_aligner import ReadAligner
+from aligngraph_tpu.config import Config, THRESHOLD
+from aligngraph_tpu.io.formalize import Reads
+from aligngraph_tpu.ops.seeding import (
+    build_index, pack_kmers_np,
+)
+from tests.simdata import make_simdata, revcomp_np
+
+
+def make_reads(sim):
+    n = len(sim.reads1)
+    L = max(len(r) for r in sim.reads1)
+    data = np.full((2 * n, L), 4, np.int8)
+    lens = np.zeros(n, np.int32)
+    for i, (r1, r2) in enumerate(zip(sim.reads1, sim.reads2)):
+        m = min(len(r1), len(r2))
+        data[2 * i, :m] = r1[:m]
+        data[2 * i + 1, :m] = r2[:m]
+        lens[i] = m
+    return Reads(n, L, data, lens)
+
+
+def test_pack_kmers():
+    codes = np.array([0, 1, 2, 3, 0, 4, 1], np.int8)  # ACGTANС
+    packed, valid = pack_kmers_np(codes, 3)
+    # first 3-mer ACG = 0b000110 = 6
+    assert packed[0] == 0b000110
+    assert valid[0] and valid[1] and valid[2]
+    assert not valid[3] and not valid[4]  # windows containing the N
+
+
+def test_align_simulated_reads():
+    sim = make_simdata(seed=3, genome_len=20_000, n_pairs=300,
+                      read_len=100, insert=500, snp_rate=0.01)
+    reads = make_reads(sim)
+    cfg = Config(distance_low=200, distance_high=800)
+    al = ReadAligner.build(sim.reference, cfg, batch_pairs=128)
+    res = al.align(reads)
+
+    # nearly every simulated pair should align (close reference, 1% SNPs)
+    aligned_pairs = np.unique(res.pair_id)
+    frac = len(aligned_pairs) / reads.n_pairs
+    assert frac > 0.9, f"only {frac:.2%} of pairs aligned"
+
+    # strand sanity: each reported pair must have opposite strands
+    assert np.all(res.fr[:, 0] != res.fr[:, 1])
+
+    # fragment lengths within the configured window (actual aligned span)
+    # and alignment positions approximately match the simulated positions
+    # (reference has indels vs target, so allow drift)
+    top = res.score.sum(axis=1)
+    for p in aligned_pairs[:50]:
+        rows = np.nonzero(res.pair_id == p)[0]
+        best = rows[np.argmax(top[rows])]
+        ts = res.target_start[best].min()
+        true = sim.read_pos[p]
+        assert abs(ts - true) < 600, (p, ts, true)
+
+    # the reference C13 ratio filter should keep the vast majority
+    keep = res.ratio_ok(THRESHOLD)
+    assert keep.mean() > 0.95
+
+    # pos_map consistency: matches count = src span minus gaps
+    m = (res.pos_map >= 0).sum(axis=2)
+    np.testing.assert_array_equal(
+        m, res.source_end - res.source_start - res.source_gap)
+
+
+def test_align_rc_mate_positions():
+    """Mate2 (fr=1) pos_map must be in revcomp coordinates against the
+    forward genome."""
+    sim = make_simdata(seed=9, genome_len=10_000, n_pairs=40, read_len=80,
+                      insert=400, snp_rate=0.0, err_rate=0.0)
+    # align against the *target* itself (exact): placements must be exact
+    reads = make_reads(sim)
+    cfg = Config(distance_low=150, distance_high=650)
+    al = ReadAligner.build(sim.target, cfg, batch_pairs=64)
+    res = al.align(reads)
+    assert res.n >= 35
+    for k in range(res.n):
+        p = res.pair_id[k]
+        for mate in (0, 1):
+            pm = res.pos_map[k, mate]
+            fr = res.fr[k, mate]
+            rl = len(sim.reads1[p])
+            seq = [sim.reads1[p], sim.reads2[p]][mate]
+            if fr:
+                seq = revcomp_np(seq)
+            aligned = pm >= 0
+            assert aligned.sum() == rl  # exact reads -> fully aligned
+            np.testing.assert_array_equal(
+                sim.target[pm[aligned]], seq[aligned])
+
+
+def test_no_reads():
+    cfg = Config(distance_low=0, distance_high=1000)
+    al = ReadAligner.build(np.zeros(1000, np.int8) + 1, cfg, batch_pairs=16)
+    empty = Reads(0, 0, np.zeros((0, 0), np.int8), np.zeros(0, np.int32))
+    res = al.align(empty)
+    assert res.n == 0

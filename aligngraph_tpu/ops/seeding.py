@@ -31,14 +31,32 @@ INVALID_DIAG = np.int32(2**31 - 1)
 
 @dataclasses.dataclass
 class SeedIndex:
+    """Sorted k-mer position index. Host (numpy) arrays are authoritative;
+    device copies are created lazily (reads use device lookup in the hot
+    path, contigs use host np.searchsorted for one-off long queries)."""
     seed_len: int
     genome_len: int
-    sorted_kmers: jax.Array   # [M] int32, ascending
-    sorted_pos: jax.Array     # [M] int32 genome position of each k-mer
+    sorted_kmers_np: np.ndarray   # [M] int32, ascending
+    sorted_pos_np: np.ndarray     # [M] int32 genome position of each k-mer
+    _device: tuple = None
 
     @property
     def n_kmers(self) -> int:
-        return int(self.sorted_kmers.shape[0])
+        return int(self.sorted_kmers_np.shape[0])
+
+    def device_arrays(self):
+        if self._device is None:
+            self._device = (jnp.asarray(self.sorted_kmers_np),
+                            jnp.asarray(self.sorted_pos_np))
+        return self._device
+
+    @property
+    def sorted_kmers(self):
+        return self.device_arrays()[0]
+
+    @property
+    def sorted_pos(self):
+        return self.device_arrays()[1]
 
 
 def pack_kmers_np(codes: np.ndarray, seed_len: int):
@@ -72,8 +90,8 @@ def build_index(genome_codes: np.ndarray, seed_len: int = 15) -> SeedIndex:
     return SeedIndex(
         seed_len=seed_len,
         genome_len=int(len(genome_codes)),
-        sorted_kmers=jnp.asarray(kmers[order]),
-        sorted_pos=jnp.asarray(pos[order]),
+        sorted_kmers_np=kmers[order],
+        sorted_pos_np=pos[order],
     )
 
 

@@ -21,4 +21,23 @@ Architecture (arrays, not files; positions, not pointers):
 
 __version__ = "0.1.0"
 
+import os as _os
+
+# Persistent XLA compilation cache: kernel shapes recur across runs; the
+# first compile of the DP scan is expensive (especially via the TPU
+# tunnel), later processes reuse it.  Opt out with AG_TPU_NO_CACHE=1.
+if not _os.environ.get("AG_TPU_NO_CACHE"):
+    try:
+        import jax as _jax
+
+        _cache = _os.environ.get(
+            "AG_TPU_CACHE_DIR",
+            _os.path.join(_os.path.expanduser("~"), ".cache",
+                          "aligngraph_tpu_jax"))
+        _os.makedirs(_cache, exist_ok=True)
+        _jax.config.update("jax_compilation_cache_dir", _cache)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # pragma: no cover - cache is best-effort
+        pass
+
 from aligngraph_tpu.config import Config  # noqa: F401

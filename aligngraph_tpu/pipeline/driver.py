@@ -1,0 +1,225 @@
+"""End-to-end pipeline driver — L5/L6 (`main`, AlignGraph.cpp:4696-4796).
+
+Stage graph (mirrors the reference's (0)-(6) banners):
+  (0) input formalization (reads / contigs / genome)
+  (1) alignment: in-engine PE read aligner + contig aligner over the whole
+      concatenated genome (replacing bowtie2 + pblat subprocesses; the
+      reference's 2-pthread fork becomes two device dispatch streams)
+  (2) optional ratio check (C25)
+  (3) per chromosome-part: graph build (contig + k-mer layers) ->
+      extension -> scaffolding
+  (4) refinement (final selection)
+  (5) optional misassembly removal
+Checkpointing (C15) is stage+part granular via pipeline/checkpoint.py.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import time
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from aligngraph_tpu.align.contig_aligner import ContigAligner
+from aligngraph_tpu.align.read_aligner import ReadAligner
+from aligngraph_tpu.align.types import ContigAlignments, PairAlignments
+from aligngraph_tpu.config import Config, THRESHOLD
+from aligngraph_tpu.graph.contig_layer import build_contig_layer, \
+    initial_contigs
+from aligngraph_tpu.graph.kmer_layer import KmerBuildStats, build_kmer_layer
+from aligngraph_tpu.graph.model import GraphTensors
+from aligngraph_tpu.graph.traverse import extend_and_scaffold
+from aligngraph_tpu.io.fasta import decode, write_fasta
+from aligngraph_tpu.io.formalize import (Contigs, Genome, Reads,
+                                         formalize_contigs,
+                                         formalize_genome, formalize_reads)
+from aligngraph_tpu.pipeline.refinement import RefinementResult, refine
+from aligngraph_tpu.utils.log import stage_banner, get_logger
+
+log = get_logger(__name__)
+
+
+@dataclasses.dataclass
+class PipelineResult:
+    extended_ids: List[str]
+    extended_seqs: List[np.ndarray]
+    remaining_ids: List[str]
+    remaining_seqs: List[np.ndarray]
+    per_part_scaffolds: List[List[np.ndarray]]
+    per_part_initials: List[List[Tuple[int, np.ndarray]]]
+    stats: Dict
+    wall_seconds: float = 0.0
+    align_seconds: float = 0.0
+
+
+def _subset_pairs(pa: PairAlignments, mask: np.ndarray) -> PairAlignments:
+    return dataclasses.replace(
+        pa, **{f.name: getattr(pa, f.name)[mask]
+               for f in dataclasses.fields(pa)})
+
+
+def _subset_contig_ali(ca: ContigAlignments, mask: np.ndarray
+                       ) -> ContigAlignments:
+    idx = np.nonzero(mask)[0]
+    return ContigAlignments(
+        chunk_id=ca.chunk_id[idx], fr=ca.fr[idx], score=ca.score[idx],
+        source_start=ca.source_start[idx], source_end=ca.source_end[idx],
+        source_gap=ca.source_gap[idx], source_size=ca.source_size[idx],
+        target_start=ca.target_start[idx], target_end=ca.target_end[idx],
+        target_gap=ca.target_gap[idx],
+        pos_map=[ca.pos_map[i] for i in idx])
+
+
+def check_ratio(rali: PairAlignments, n_pairs: int) -> float:
+    """C25 (`checkRatio`, AlignGraph.cpp:3751-3819): fraction of pairs
+    passing the C13 filters; warns below 25%."""
+    if n_pairs == 0:
+        return 0.0
+    ok = rali.ratio_ok(THRESHOLD)
+    frac = len(np.unique(rali.pair_id[ok])) / n_pairs
+    if frac < 0.25:
+        log.warning("ratio check: only %.1f%% of read pairs aligned — "
+                    "results may be poor (reference warns at <25%%)",
+                    frac * 100)
+    return frac
+
+
+def run_pipeline(cfg: Config,
+                 reads: Optional[Reads] = None,
+                 contigs: Optional[Contigs] = None,
+                 genome: Optional[Genome] = None,
+                 checkpoint=None) -> PipelineResult:
+    t0 = time.time()
+    stats: Dict = {}
+
+    # --resume: restore config from the work dir's command round-trip and
+    # pick up from the last checkpoint (reference :4748-4760)
+    resume_from = -1
+    if cfg.resume:
+        from aligngraph_tpu.pipeline.checkpoint import Checkpoint
+        checkpoint = Checkpoint(cfg.work_dir)
+        cfg = checkpoint.load_command()
+        resume_from = checkpoint.get()
+        log.info("resuming from checkpoint %d", resume_from)
+    elif checkpoint is not None:
+        checkpoint.save_command(cfg)
+
+    stage_banner(0, "formalizing inputs")
+    if reads is None:
+        reads = formalize_reads(cfg.read1, cfg.read2)
+    if contigs is None:
+        contigs = formalize_contigs(cfg.contig)
+    if genome is None:
+        genome = formalize_genome(cfg.genome, cfg.part)
+    cfg.validate(max_read_length=reads.max_read_length or None)
+    stats["n_pairs"] = reads.n_pairs
+    stats["n_contigs"] = contigs.n_real
+    stats["n_parts"] = genome.n_parts
+
+    ta = time.time()
+    restored = None
+    if resume_from >= 0 and checkpoint is not None:
+        restored = checkpoint.load_alignments()
+    if restored is not None:
+        stage_banner(1, "alignment restored from checkpoint")
+        rali, cali = restored
+    else:
+        stage_banner(1, "aligning reads and contigs (in-engine)")
+        gseq = np.asarray(genome.seq, np.int8)
+        r_aligner = ReadAligner.build(gseq, cfg)
+        rali = r_aligner.align(reads)
+        c_aligner = ContigAligner(gseq, cfg, index=r_aligner.index)
+        cali = c_aligner.align(contigs)
+        if checkpoint is not None:
+            checkpoint.save_alignments(rali, cali)
+            checkpoint.set(0)
+    align_seconds = time.time() - ta
+    stats["read_alignments"] = rali.n
+    stats["contig_placements"] = cali.n
+
+    if cfg.ratio_check:
+        stage_banner(2, "ratio check")
+        stats["aligned_pair_fraction"] = check_ratio(rali, reads.n_pairs)
+
+    # C13 filter (the graph loader's acceptance test)
+    rali = _subset_pairs(rali, rali.ratio_ok(THRESHOLD))
+
+    part_bounds = np.concatenate(
+        [genome.part_gstart, [genome.total_len]]).astype(np.int64)
+
+    per_part_scaffolds: List[List[np.ndarray]] = []
+    per_part_initials: List[List[Tuple[int, np.ndarray]]] = []
+    kstats = KmerBuildStats()
+    for p in range(genome.n_parts):
+        if checkpoint is not None and resume_from >= p + 1:
+            saved = checkpoint.load_part(p)
+            if saved is not None:
+                scaffolds, initials = saved
+                per_part_scaffolds.append(scaffolds)
+                per_part_initials.append(initials)
+                continue
+        stage_banner(3, f"graph build + extension: part {p + 1}/"
+                        f"{genome.n_parts}")
+        lo, hi = int(part_bounds[p]), int(part_bounds[p + 1])
+        g = GraphTensors.create(genome.part_seq(p))
+
+        cmask = (cali.target_start >= lo) & (cali.target_start < hi)
+        part_cali = _subset_contig_ali(cali, cmask)
+        outp = build_contig_layer(g, contigs, part_cali, part_offset=lo)
+        per_part_initials.append(initial_contigs(contigs, outp))
+
+        ts = rali.target_start
+        rmask = ((ts[:, 0] >= lo) & (ts[:, 0] < hi)
+                 & (ts[:, 1] >= lo) & (ts[:, 1] < hi))
+        part_rali = _subset_pairs(rali, rmask)
+        build_kmer_layer(g, part_rali, reads, cfg.k_mer,
+                         cfg.insert_variation, part_offset=lo, stats=kstats)
+
+        scaffolds, _pre = extend_and_scaffold(g, cfg.coverage, cfg.k_mer)
+        per_part_scaffolds.append(scaffolds)
+        if checkpoint is not None:
+            checkpoint.save_part(p, scaffolds, per_part_initials[-1])
+            checkpoint.set(p + 1)
+    stats["kmer_build"] = dataclasses.asdict(kstats)
+    stats["n_scaffolds"] = sum(len(s) for s in per_part_scaffolds)
+
+    stage_banner(4, "refinement")
+    res = refine(cfg, genome, contigs, per_part_initials,
+                 per_part_scaffolds)
+
+    out = PipelineResult(
+        extended_ids=res.extended_ids, extended_seqs=res.extended_seqs,
+        remaining_ids=res.remaining_ids + contigs.chaff_ids,
+        remaining_seqs=res.remaining_seqs + [
+            np.frombuffer(s, np.uint8).astype(np.int8)
+            for s in contigs.chaff_seqs],
+        per_part_scaffolds=per_part_scaffolds,
+        per_part_initials=per_part_initials,
+        stats=stats,
+        wall_seconds=time.time() - t0,
+        align_seconds=align_seconds,
+    )
+
+    if cfg.extended_contig:
+        _write_out(cfg.extended_contig, out.extended_ids, out.extended_seqs)
+    if cfg.remaining_contig:
+        _write_remaining(cfg.remaining_contig, res, contigs)
+    log.info("FINISHED in %.1fs (alignment %.1fs)", out.wall_seconds,
+             align_seconds)
+    return out
+
+
+def _write_out(path: str, ids: List[str], seqs: List[np.ndarray]) -> None:
+    write_fasta(path, ids, [decode(s) for s in seqs])
+
+
+def _write_remaining(path: str, res: RefinementResult,
+                     contigs: Contigs) -> None:
+    """Remaining = untagged initial contigs + chaff verbatim
+    (AlignGraph.cpp:3135-3167)."""
+    with open(path, "wb") as f:
+        write_fasta(f, res.remaining_ids,
+                    [decode(s) for s in res.remaining_seqs])
+        write_fasta(f, contigs.chaff_ids, contigs.chaff_seqs)

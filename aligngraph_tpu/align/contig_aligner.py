@@ -35,7 +35,7 @@ import jax.numpy as jnp
 from aligngraph_tpu.align.types import ContigAlignments
 from aligngraph_tpu.config import Config, INIT_CONTIG_THRESHOLD
 from aligngraph_tpu.io.formalize import Contigs
-from aligngraph_tpu.ops.banded_sw import banded_sw, sw_traceback
+from aligngraph_tpu.ops.banded_sw import banded_sw_auto, sw_traceback
 from aligngraph_tpu.ops.seeding import SeedIndex, build_index, pack_kmers_np
 
 TILE = 512
@@ -233,7 +233,7 @@ class ContigAligner:
             ok = (x >= 0) & (x < G)
             windows = np.where(ok, self.genome_np[np.clip(x, 0, G - 1)],
                                np.int8(4))
-            res = banded_sw(jnp.asarray(tiles), jnp.asarray(tlens),
+            res = banded_sw_auto(jnp.asarray(tiles), jnp.asarray(tlens),
                             jnp.asarray(windows), pad=TILE_PAD)
             pm = np.asarray(sw_traceback(res.tb, res.best_i, res.best_b,
                                          jnp.asarray(g0s), pad=TILE_PAD))

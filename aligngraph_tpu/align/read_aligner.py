@@ -30,7 +30,7 @@ import numpy as np
 from aligngraph_tpu.align.types import PairAlignments
 from aligngraph_tpu.config import Config
 from aligngraph_tpu.io.formalize import Reads
-from aligngraph_tpu.ops.banded_sw import banded_sw, sw_traceback
+from aligngraph_tpu.ops.banded_sw import banded_sw_auto, sw_traceback
 from aligngraph_tpu.ops.seeding import (
     INVALID_DIAG, SeedIndex, build_index, lookup_seeds, pack_query_seeds,
     select_candidates,
@@ -156,26 +156,44 @@ def _align_pairs_device(genome, sorted_kmers, sorted_pos, seqs, plens, *,
     qseqs = jnp.concatenate([seqs, rc])              # [2R, L]
     qlens = jnp.concatenate([rlens, rlens])
 
-    # --- seeding ---
+    # --- seeding (both orientations) ---
     packed, offs, valid = pack_query_seeds(qseqs, seed_len, stride)
     valid = valid & (offs[None, :] <= (qlens[:, None] - seed_len))
     hits = lookup_seeds(sorted_kmers, sorted_pos, packed, valid, 16)
-    diags, votes = select_candidates(hits, offs, pad, C)   # [2R, C]
+    diags2, votes2 = select_candidates(hits, offs, pad, C)   # [2R, C]
 
-    # --- DP on all candidates ---
-    diag_f = diags.reshape(-1)                       # [2R*C]
+    # --- joint-orientation top-C per read (most candidate slots of the
+    # wrong orientation are empty; selecting over both halves the DP
+    # batch) ---
+    diag_j = jnp.concatenate([diags2[:R], diags2[R:]], axis=1)   # [R, 2C]
+    votes_j = jnp.concatenate([votes2[:R], votes2[R:]], axis=1)
+    orient_j = jnp.broadcast_to(
+        (jnp.arange(2 * C, dtype=jnp.int32) // C)[None, :], (R, 2 * C))
+    o1 = jnp.argsort(jnp.where(votes_j > 0, diag_j, INVALID_DIAG),
+                     axis=1, stable=True)
+    o2 = jnp.argsort(jnp.take_along_axis(-votes_j, o1, axis=1), axis=1,
+                     stable=True)
+    sel = jnp.take_along_axis(o1, o2, axis=1)[:, :C]             # [R, C]
+    diag_s = jnp.take_along_axis(diag_j, sel, axis=1)
+    votes_s = jnp.take_along_axis(votes_j, sel, axis=1)
+    orient_s = jnp.take_along_axis(orient_j, sel, axis=1)
+    diag_s = jnp.where(votes_s > 0, diag_s, INVALID_DIAG)
+
+    # --- DP on selected candidates [R*C] ---
+    diag_f = diag_s.reshape(-1)
     cvalid = diag_f != INVALID_DIAG
     diag_safe = jnp.where(cvalid, diag_f, 0)
-    qidx = jnp.repeat(jnp.arange(2 * R, dtype=jnp.int32), C)
+    rr = jnp.repeat(jnp.arange(R, dtype=jnp.int32), C)
+    qidx = orient_s.reshape(-1) * R + rr             # row in qseqs
     x = (diag_safe[:, None] - pad
          + jnp.arange(WL, dtype=jnp.int32)[None, :])
     windows = jnp.where((x >= 0) & (x < G),
                         genome[jnp.clip(x, 0, G - 1)], jnp.int8(4))
     creads = qseqs[qidx]
     clens = qlens[qidx]
-    res = banded_sw(creads, jnp.where(cvalid, clens, 0), windows, pad=pad)
+    res = banded_sw_auto(creads, jnp.where(cvalid, clens, 0), windows, pad=pad)
     pos_map = sw_traceback(res.tb, res.best_i, res.best_b, diag_safe,
-                           pad=pad)                  # [2R*C, L]
+                           pad=pad)                  # [R*C, L]
     st = _candidate_stats(pos_map, clens)
     score = jnp.where(cvalid, res.score, -1)
     score_min = jnp.ceil(
@@ -184,15 +202,13 @@ def _align_pairs_device(genome, sorted_kmers, sorted_pos, seqs, plens, *,
     ).astype(jnp.int32)
     good = cvalid & (score >= score_min) & (st["match"] > 0)
 
-    # --- per-mate candidate tables [P, 2, 2C] ---
-    # flattened candidate index for (read r, orientation o, cand c):
-    #   (o * R + r) * C + c
+    # --- per-mate candidate tables [P, 2, C] ---
+    # candidate index for (pair p, mate m, cand c): (2p + m)*C + c
     r_ids = (2 * jnp.arange(P, dtype=jnp.int32)[:, None, None]
              + jnp.arange(2, dtype=jnp.int32)[None, :, None])   # [P,2,1]
-    o_ids = (jnp.arange(2 * C, dtype=jnp.int32) // C)[None, None, :]
-    c_ids = (jnp.arange(2 * C, dtype=jnp.int32) % C)[None, None, :]
-    cand = (o_ids * R + r_ids) * C + c_ids           # [P, 2, 2C]
-    m_fr = o_ids.astype(jnp.int8) * jnp.ones_like(cand, jnp.int8)
+    c_ids = jnp.arange(C, dtype=jnp.int32)[None, None, :]
+    cand = r_ids * C + c_ids                         # [P, 2, C]
+    m_fr = orient_s.reshape(-1)[cand].astype(jnp.int8)
     m_good = good[cand]
     m_score = score[cand]
     m_ts = st["tgt_start"][cand]
@@ -201,12 +217,12 @@ def _align_pairs_device(genome, sorted_kmers, sorted_pos, seqs, plens, *,
     same = ((m_ts[..., None, :] == m_ts[..., :, None])
             & (m_fr[..., None, :] == m_fr[..., :, None])
             & m_good[..., None, :] & m_good[..., :, None])
-    j = jnp.arange(2 * C)
-    earlier = j[None, :] < j[:, None]                # [2C, 2C] j' < j
+    j = jnp.arange(C)
+    earlier = j[None, :] < j[:, None]                # [C, C] j' < j
     dup = jnp.any(same & earlier[None, None, :, :], axis=-1)
     m_good = m_good & ~dup
 
-    # --- pairing [P, 2C, 2C] ---
+    # --- pairing [P, C, C] ---
     g1 = m_good[:, 0, :, None]
     g2 = m_good[:, 1, None, :]
     fr1 = m_fr[:, 0, :, None]
@@ -236,8 +252,8 @@ def _align_pairs_device(genome, sorted_kmers, sorted_pos, seqs, plens, *,
                      stable=True)
     order = jnp.take_along_axis(o1, o2, axis=1)[:, :K]   # [P, K]
     kvalid = jnp.take_along_axis(ok.reshape(P, -1), order, axis=1)
-    j1 = order // (2 * C)
-    j2 = order % (2 * C)
+    j1 = order // C
+    j2 = order % C
 
     def gather_mate(arr, jm, mate):
         # arr: [P, 2, 2C] -> [P, K]

@@ -329,11 +329,27 @@ def scaffold_contigs(g: GraphTensors, contigs: List[PreContig]
     return [np.frombuffer(bytes(s), dtype=np.int8) for s in scaffolds]
 
 
-def extend_and_scaffold(g: GraphTensors, coverage: int, k: int):
+def extd_contigs1_dispatch(g: GraphTensors, coverage: int, k: int,
+                           force_python: bool = False) -> List[PreContig]:
+    """Prefer the C++ native walk (identical semantics, ~1000x faster);
+    fall back to the Python oracle."""
+    if not force_python:
+        try:
+            from aligngraph_tpu import native
+            out = native.extd_contigs1_native(g, coverage, k)
+            if out is not None:
+                return out
+        except Exception:
+            pass
+    return extd_contigs1(g, coverage, k)
+
+
+def extend_and_scaffold(g: GraphTensors, coverage: int, k: int,
+                        force_python: bool = False):
     """C21+C22+C23 composed (reference `extendContigs` + `scaffoldContigs`).
 
     Returns (scaffold sequences, pre-extended contig list)."""
-    pre = extd_contigs1(g, coverage, k)
+    pre = extd_contigs1_dispatch(g, coverage, k, force_python=force_python)
     extd_contigs2(pre)
     scaffolds = scaffold_contigs(g, pre)
     return scaffolds, pre

@@ -1,0 +1,158 @@
+"""Pallas TPU kernel for the banded affine local DP (speed-of-light path).
+
+Same semantics as ops/banded_sw.banded_sw (tested for equivalence), with a
+TPU-native layout:
+  - candidates on the LANE axis (TB per grid tile), band on sublanes:
+    all DP state tensors are (W, TB) so every op is a dense VPU op
+  - rows processed in slabs of 8 so every dynamic sublane slice is
+    8-aligned (Mosaic constraint); within-slab row offsets are static
+  - the exact within-row F recurrence is the same log-step max-decay scan
+    as the reference implementation, as sublane shifts
+  - traceback bits written slab-wise into the VMEM-resident (L, W, TB)
+    output block
+
+Outputs match banded_sw bit-for-bit: scores/best cells [B], tb [L, B, W].
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from aligngraph_tpu.ops.banded_sw import (
+    GAP_EXT, GAP_OPEN, MATCH, MISMATCH, N_PEN, SWResult,
+)
+
+NEG = -(10**7)    # python int: jnp scalars would be captured consts
+TB = 128          # candidates per grid tile (lane width)
+SLAB = 8          # rows per aligned slab
+
+
+def _shift_down(a, s):
+    """out[b] = a[b-s] along sublanes (NEG fill)."""
+    return jnp.concatenate(
+        [jnp.full((s, a.shape[1]), NEG, a.dtype), a[:-s]], axis=0)
+
+
+def _shift_up(a, s):
+    return jnp.concatenate(
+        [a[s:], jnp.full((s, a.shape[1]), NEG, a.dtype)], axis=0)
+
+
+def _kernel(r_ref, w_ref, len_ref, tb_ref, score_ref, bi_ref, bb_ref, *,
+            L: int, W: int):
+    lens = len_ref[0, 0, :]                           # (TB,) int32
+
+    def slab(k, carry):
+        Hprev, Eprev, bs, bi, bb = carry
+        base = pl.multiple_of(k * SLAB, SLAB)
+        rslab = r_ref[0, pl.ds(base, SLAB), :].astype(jnp.int32)
+        wslab = w_ref[0, pl.ds(base, W + SLAB), :].astype(jnp.int32)
+        tb_rows = []
+        for j in range(SLAB):
+            i = k * SLAB + j + 1                      # 1-based row
+            rb = rslab[j][None, :]
+            wb = wslab[j:j + W]                       # (W, TB), static j
+            eq = (rb == wb) & (rb < 4)
+            anyn = (rb >= 4) | (wb >= 4)
+            s = jnp.where(eq, MATCH, jnp.where(anyn, N_PEN, MISMATCH))
+            M = Hprev + s
+            e_open = _shift_up(Hprev, 1) - (GAP_OPEN + GAP_EXT)
+            e_ext = _shift_up(Eprev, 1) - GAP_EXT
+            E = jnp.maximum(e_open, e_ext)
+            e_flag = e_ext > e_open
+            Hno = jnp.maximum(jnp.maximum(M, E), 0)
+            G = Hno - GAP_OPEN
+            sh = 1
+            while sh < W:
+                G = jnp.maximum(G, _shift_down(G, sh) - GAP_EXT * sh)
+                sh *= 2
+            F = _shift_down(G, 1) - GAP_EXT
+            H = jnp.maximum(Hno, F)
+            f_open = _shift_down(Hno, 1) - (GAP_OPEN + GAP_EXT)
+            f_flag = F > f_open
+            choice = jnp.where(
+                H == 0, 0,
+                jnp.where(M == H, 1, jnp.where(E == H, 2, 3)))
+            tb_rows.append((choice
+                            | (e_flag.astype(jnp.int32) << 2)
+                            | (f_flag.astype(jnp.int32) << 3)
+                            ).astype(jnp.uint8)[None])
+            valid = (i <= lens)[None, :]
+            Hm = jnp.where(valid, H, NEG)
+            row_best = jnp.max(Hm, axis=0)
+            bidx = jax.lax.broadcasted_iota(jnp.int32, (W, TB), 0)
+            row_arg = jnp.min(
+                jnp.where(Hm == row_best[None, :], bidx, W), axis=0)
+            upd = row_best > bs
+            bs = jnp.where(upd, row_best, bs)
+            bi = jnp.where(upd, i, bi)
+            bb = jnp.where(upd, row_arg, bb)
+            Hprev, Eprev = H, E
+        tb_ref[0, pl.ds(base, SLAB), :, :] = jnp.concatenate(tb_rows,
+                                                             axis=0)
+        return Hprev, Eprev, bs, bi, bb
+
+    H0 = jnp.zeros((W, TB), jnp.int32)
+    E0 = jnp.full((W, TB), NEG, jnp.int32)
+    z = jnp.zeros((TB,), jnp.int32)
+    H, E, bs, bi, bb = jax.lax.fori_loop(
+        0, L // SLAB, slab, (H0, E0, z, z, z))
+    score_ref[0, 0, :] = bs
+    bi_ref[0, 0, :] = bi
+    bb_ref[0, 0, :] = bb
+
+
+@functools.partial(jax.jit, static_argnames=("pad",))
+def banded_sw_pallas(reads, rlens, windows, pad: int) -> SWResult:
+    """Drop-in for banded_sw (same inputs/outputs), Pallas TPU kernel.
+
+    reads [B, L] int8; rlens [B] int32; windows [B, L+2*pad] int8.
+    B must be a multiple of TB (the caller pads the batch).
+    """
+    B, L = reads.shape
+    W = 2 * pad
+    assert windows.shape[1] == L + W
+    assert B % TB == 0, f"batch {B} not a multiple of {TB}"
+    nb = B // TB
+    L8 = ((L + SLAB - 1) // SLAB) * SLAB
+
+    if L8 != L:
+        reads = jnp.pad(reads, ((0, 0), (0, L8 - L)), constant_values=4)
+        windows = jnp.pad(windows, ((0, 0), (0, L8 - L)),
+                          constant_values=4)
+
+    reads_t = reads.T.reshape(L8, nb, TB).swapaxes(0, 1)       # (nb,L8,TB)
+    win_t = windows.T.reshape(L8 + W, nb, TB).swapaxes(0, 1)
+    lens_t = rlens.reshape(nb, 1, TB)
+
+    kernel = functools.partial(_kernel, L=L8, W=W)
+    tb, score, bi, bb = pl.pallas_call(
+        kernel,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((1, L8, TB), lambda t: (t, 0, 0)),
+            pl.BlockSpec((1, L8 + W, TB), lambda t: (t, 0, 0)),
+            pl.BlockSpec((1, 1, TB), lambda t: (t, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, L8, W, TB), lambda t: (t, 0, 0, 0)),
+            pl.BlockSpec((1, 1, TB), lambda t: (t, 0, 0)),
+            pl.BlockSpec((1, 1, TB), lambda t: (t, 0, 0)),
+            pl.BlockSpec((1, 1, TB), lambda t: (t, 0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((nb, L8, W, TB), jnp.uint8),
+            jax.ShapeDtypeStruct((nb, 1, TB), jnp.int32),
+            jax.ShapeDtypeStruct((nb, 1, TB), jnp.int32),
+            jax.ShapeDtypeStruct((nb, 1, TB), jnp.int32),
+        ],
+    )(reads_t, win_t, lens_t)
+    # back to banded_sw layout: tb [L, B, W] with B = t*TB + lane
+    tb_out = jnp.transpose(tb, (1, 0, 3, 2)).reshape(L8, B, W)[:L]
+    return SWResult(score.reshape(B), bi.reshape(B), bb.reshape(B),
+                    tb_out)

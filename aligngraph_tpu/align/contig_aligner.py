@@ -64,7 +64,8 @@ class _Placement:
 
 
 def _cluster_and_chain(qpos: np.ndarray, tpos: np.ndarray, chunk_len: int,
-                       min_votes: int) -> List[dict]:
+                       min_votes: int,
+                       max_join_gap: int = MAX_JOIN_GAP) -> List[dict]:
     """Seed hits -> chained placements.
 
     Returns list of dicts {clusters: [(diag, qmin, qmax, votes)], votes}.
@@ -104,8 +105,8 @@ def _cluster_and_chain(qpos: np.ndarray, tpos: np.ndarray, chunk_len: int,
             prev = chain[-1]
             qgap = n["qmin"] - prev["qmax"]
             tgap = (n["diag"] + n["qmin"]) - (prev["diag"] + prev["qmax"])
-            if (qgap > -MAX_Q_OVERLAP and -MAX_Q_OVERLAP < tgap < MAX_JOIN_GAP
-                    and abs(n["diag"] - prev["diag"]) < MAX_JOIN_GAP):
+            if (qgap > -MAX_Q_OVERLAP and -MAX_Q_OVERLAP < tgap < max_join_gap
+                    and abs(n["diag"] - prev["diag"]) < max_join_gap):
                 chain.append(n)
                 used[j] = True
         chains.append(chain)
@@ -158,13 +159,21 @@ class ContigAligner:
     """Aligns formalized contig chunks to the genome."""
 
     def __init__(self, genome_codes: np.ndarray, cfg: Config,
-                 index: Optional[SeedIndex] = None):
+                 index: Optional[SeedIndex] = None,
+                 max_join_gap: int = MAX_JOIN_GAP,
+                 accept: tuple = (INIT_CONTIG_THRESHOLD,
+                                  INIT_CONTIG_THRESHOLD, 200)):
         self.genome_np = np.asarray(genome_codes, np.int8)
         self.genome = jnp.asarray(self.genome_np)
         self.cfg = cfg
         self.index = index or build_index(genome_codes, cfg.seed_len)
         self.stride = 32 if cfg.fast_map else 16
         self.min_votes = 4 if cfg.fast_map else 2
+        self.max_join_gap = max_join_gap
+        # (src_ratio, tgt_ratio, min_size) acceptance — the C12 loadContiAli
+        # filter for the assembler path; eval/misassembly consumers pass
+        # relaxed values and filter themselves (0.1 thresholds)
+        self.accept = accept
 
     # ------------------------------------------------------------------
     def _seed_hits(self, seq: np.ndarray):
@@ -196,7 +205,8 @@ class ContigAligner:
             for fr, seq in ((0, fwd), (1, _revcomp_np(fwd))):
                 qpos, tpos = self._seed_hits(seq)
                 chains = _cluster_and_chain(qpos, tpos, len(seq),
-                                            self.min_votes)
+                                            self.min_votes,
+                                            self.max_join_gap)
                 for ch in chains:
                     td, has = _tile_diags(ch["clusters"], n_tiles)
                     pid = len(placements)
@@ -261,11 +271,12 @@ class ContigAligner:
             te = int(pm[aligned].max()) + 1
             tgap = (te - ts) - m
             size = p["length"]
-            # loadContiAli filter (AlignGraph.cpp:841)
-            if not (size > 200
-                    and (se - ss - qgap) / size >= INIT_CONTIG_THRESHOLD
-                    and (te - ts - tgap) / max(te - ts, 1)
-                    >= INIT_CONTIG_THRESHOLD):
+            # loadContiAli filter (AlignGraph.cpp:841) — thresholds per
+            # consumer (self.accept)
+            a_src, a_tgt, a_size = self.accept
+            if not (size > a_size
+                    and (se - ss - qgap) / size >= a_src
+                    and (te - ts - tgap) / max(te - ts, 1) >= a_tgt):
                 continue
             rows["chunk_id"].append(p["chunk_id"])
             rows["fr"].append(p["fr"])

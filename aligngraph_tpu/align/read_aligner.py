@@ -39,6 +39,7 @@ from aligngraph_tpu.ops.seeding import (
 SCORE_MIN_CONST = 5.0   # bowtie2 --score-min G,5,2
 SCORE_MIN_COEFF = 2.0
 MAX_PAIR_HITS = 5       # bowtie2 -k 5
+MAXSEG = 8              # M-block segments per alignment (transfer format)
 
 _COMP = jnp.array([3, 2, 1, 0, 4], dtype=jnp.int8)
 
@@ -79,6 +80,50 @@ def _candidate_stats(pos_map, qlens):
     return dict(match=m, src_start=ss, src_end=se, src_gap=ins,
                 tgt_start=ts, tgt_end_actual=tea, tgt_end=te_ref,
                 tgt_gap=dele)
+
+
+def _extract_segments(pm: jax.Array):
+    """Device: pos_map rows [B, L] -> M-block segments [B, MAXSEG, 3]
+    (src_start, tgt_start, size; -1-filled) + overflow flag [B].
+
+    The device->host tunnel is bandwidth-bound; segments are ~8x smaller
+    than position maps and reconstruct them exactly."""
+    B, L = pm.shape
+    aligned = pm >= 0
+    prev_a = jnp.concatenate([jnp.zeros((B, 1), bool), aligned[:, :-1]],
+                             axis=1)
+    prev_p = jnp.concatenate([jnp.full((B, 1), -2, pm.dtype),
+                              pm[:, :-1]], axis=1)
+    is_start = aligned & (~prev_a | (pm != prev_p + 1))
+    run_id = jnp.cumsum(is_start.astype(jnp.int32), axis=1) - 1
+    n_runs = run_id[:, -1] + 1
+    rows = jnp.broadcast_to(jnp.arange(B)[:, None], (B, L))
+    rid = jnp.where(aligned, run_id, MAXSEG)
+    segs = jnp.full((B, MAXSEG, 3), -1, jnp.int32)
+    idx = jnp.broadcast_to(jnp.arange(L, dtype=jnp.int32)[None, :], (B, L))
+    sel = jnp.where(is_start, rid, MAXSEG)
+    segs = segs.at[rows, sel, 0].set(idx, mode="drop")
+    segs = segs.at[rows, sel, 1].set(pm, mode="drop")
+    sizes = jnp.zeros((B, MAXSEG), jnp.int32)
+    sizes = sizes.at[rows, rid].add(aligned.astype(jnp.int32),
+                                    mode="drop")
+    segs = segs.at[:, :, 2].set(jnp.where(sizes > 0, sizes, -1))
+    overflow = n_runs > MAXSEG
+    return segs, overflow
+
+
+def reconstruct_pos_map(segs: np.ndarray, L: int) -> np.ndarray:
+    """Host: segments [..., MAXSEG, 3] -> pos_map [..., L] int32."""
+    lead = segs.shape[:-2]
+    pm = np.full(lead + (L,), -1, np.int32)
+    idx = np.arange(L, dtype=np.int32)
+    for s in range(segs.shape[-2]):
+        st = segs[..., s, 0:1]
+        ts = segs[..., s, 1:2]
+        sz = segs[..., s, 2:3]
+        m = (sz > 0) & (idx >= st) & (idx < st + sz)
+        pm = np.where(m, ts + (idx - st), pm)
+    return pm
 
 
 @dataclasses.dataclass
@@ -134,7 +179,7 @@ class ReadAligner:
                 target_start=res["tgt_start"][sel],
                 target_end=res["tgt_end"][sel],
                 target_gap=res["tgt_gap"][sel],
-                pos_map=res["pos_map"][sel],
+                pos_map=reconstruct_pos_map(res["segs"][sel], L),
             ))
         cat = {k: np.concatenate([c[k] for c in out_chunks])
                for k in out_chunks[0]}
@@ -278,5 +323,10 @@ def _align_pairs_device(genome, sorted_kmers, sorted_pos, seqs, plens, *,
     out["tgt_start"] = pick(st["tgt_start"])
     out["tgt_end"] = pick(st["tgt_end"])
     out["tgt_gap"] = pick(st["tgt_gap"])
-    out["pos_map"] = pos_map[both]                   # [P, K, 2, L]
+    # compact transfer format: M-block segments of the selected candidates
+    sel_pm = pos_map[both.reshape(-1)]               # [P*K*2, L]
+    segs, overflow = _extract_segments(sel_pm)
+    out["segs"] = segs.reshape(P, K, 2, MAXSEG, 3)
+    out["valid"] = out["valid"] & ~jnp.any(
+        overflow.reshape(P, K, 2), axis=-1)
     return out

@@ -100,11 +100,12 @@ def evaluate(genome_path, contigs_path, out_path: Optional[str] = None,
                        average_identity=0.0)
         return _emit(metrics, out_path)
 
-    # E3: contig -> genome alignment (in-engine)
+    # E3: contig -> genome alignment (in-engine; relaxed acceptance, the
+    # IDENTITY=0.1 filter below is the eval loader's own)
     gcat = np.concatenate(genome_enc)
     gstart = np.concatenate(
         [[0], np.cumsum([len(s) for s in genome_enc])]).astype(np.int64)
-    ali = ContigAligner(gcat, cfg).align(q)
+    ali = ContigAligner(gcat, cfg, accept=(0.0, 0.0, 0)).align(q)
 
     # E4/E5: per real contig placement lists with conflict resolution
     positions: List[List[Optional[_Pos]]] = [[] for _ in init]

@@ -155,36 +155,31 @@ def select_candidates(hit_pos, seed_offsets, band_pad: int,
     diag asc).
     """
     R, S, H = hit_pos.shape
+    N = S * H
     diag = jnp.where(
         hit_pos >= 0,
         hit_pos - seed_offsets[None, :, None].astype(jnp.int32),
         INVALID_DIAG,
-    ).reshape(R, S * H)
-    diag = jnp.sort(diag, axis=1)
+    ).reshape(R, N)
+    diag = jnp.sort(diag, axis=1)        # invalids sort to the end
     prev = jnp.concatenate(
         [jnp.full((R, 1), -(2**30), jnp.int32), diag[:, :-1]], axis=1)
     is_valid = diag != INVALID_DIAG
     new_cluster = is_valid & ((diag - prev) > band_pad)
-    # cluster representative: first element of the cluster (min diag)
-    cluster_id = jnp.cumsum(new_cluster.astype(jnp.int32), axis=1)  # 1-based
-    # votes per element's cluster via segment trick: count elements sharing id
-    # (S*H is small; use one-hot matmul-free approach with sorted equality)
-    # votes[i] = number of valid elements with same cluster_id
-    max_cl = S * H
-    cl = jnp.where(is_valid, cluster_id, 0)
-    counts = jax.vmap(
-        lambda c, v: jnp.bincount(c, weights=v.astype(jnp.int32),
-                                  length=max_cl + 1)
-    )(cl, is_valid)
-    rep_diag = jax.vmap(
-        lambda c, d, nc: jnp.full(max_cl + 1, INVALID_DIAG, jnp.int32).at[
-            jnp.where(nc, c, max_cl)].min(jnp.where(nc, d, INVALID_DIAG))
-    )(cl, diag, new_cluster)
-    votes = counts.astype(jnp.int32)
-    votes = votes.at[:, 0].set(0)  # slot 0 = invalid bucket
+    # cluster votes via run lengths: for a cluster-start at i, votes =
+    # (index of next cluster start, or #valid) - i.  next-start index is a
+    # suffix-min over start positions (flip + cummin + flip).
+    idx = jnp.broadcast_to(jnp.arange(N, dtype=jnp.int32)[None, :], (R, N))
+    n_valid = jnp.sum(is_valid, axis=1, keepdims=True).astype(jnp.int32)
+    start_idx = jnp.where(new_cluster, idx, jnp.int32(N))
+    nxt = jnp.concatenate([start_idx[:, 1:],
+                           jnp.full((R, 1), N, jnp.int32)], axis=1)
+    next_start = jnp.flip(
+        jax.lax.cummin(jnp.flip(nxt, axis=1), axis=1), axis=1)
+    votes_at_start = jnp.minimum(next_start, n_valid) - idx
+    votes = jnp.where(new_cluster, votes_at_start, 0)
+    rep_diag = jnp.where(new_cluster, diag, INVALID_DIAG)
     # rank clusters by (votes desc, rep_diag asc): composed stable argsorts
-    # (int64 keys are unavailable without x64; two stable passes give the
-    # same lexicographic order)
     o1 = jnp.argsort(rep_diag, axis=1, stable=True)
     neg_votes = jnp.take_along_axis(-votes, o1, axis=1)
     o2 = jnp.argsort(neg_votes, axis=1, stable=True)

@@ -119,6 +119,7 @@ def run_pipeline(cfg: Config,
     stats["n_parts"] = genome.n_parts
 
     ta = time.time()
+    gseq = np.asarray(genome.seq, np.int8)
     restored = None
     if resume_from >= 0 and checkpoint is not None:
         restored = checkpoint.load_alignments()
@@ -127,10 +128,30 @@ def run_pipeline(cfg: Config,
         rali, cali = restored
     else:
         stage_banner(1, "aligning reads and contigs (in-engine)")
-        gseq = np.asarray(genome.seq, np.int8)
-        r_aligner = ReadAligner.build(gseq, cfg)
-        rali = r_aligner.align(reads)
-        c_aligner = ContigAligner(gseq, cfg, index=r_aligner.index)
+        if cfg.iterative_map and genome.n_parts > 1:
+            # --iterativeMap: per-part read alignment (reference `task0`
+            # per-chromosome branch, AlignGraph.cpp:3581-3613) — bounds
+            # index memory at the cost of one pass per part
+            parts = []
+            for p in range(genome.n_parts):
+                pseq = np.asarray(genome.part_seq(p), np.int8)
+                if len(pseq) < cfg.seed_len:
+                    continue
+                ra = ReadAligner.build(pseq, cfg)
+                r = ra.align(reads)
+                off = int(genome.part_gstart[p])
+                r.target_start += np.where(r.target_start >= 0, off, 0)
+                r.target_end += np.where(r.target_end >= 0, off, 0)
+                r.pos_map += np.where(r.pos_map >= 0, off, 0)
+                parts.append(r)
+            rali = PairAlignments(**{
+                f.name: np.concatenate([getattr(r, f.name) for r in parts])
+                for f in dataclasses.fields(PairAlignments)})
+            c_aligner = ContigAligner(gseq, cfg)
+        else:
+            r_aligner = ReadAligner.build(gseq, cfg)
+            rali = r_aligner.align(reads)
+            c_aligner = ContigAligner(gseq, cfg, index=r_aligner.index)
         cali = c_aligner.align(contigs)
         if checkpoint is not None:
             checkpoint.save_alignments(rali, cali)
@@ -206,6 +227,19 @@ def run_pipeline(cfg: Config,
         _write_out(cfg.extended_contig, out.extended_ids, out.extended_seqs)
     if cfg.remaining_contig:
         _write_remaining(cfg.remaining_contig, res, contigs)
+
+    # (5) optional misassembly removal over both outputs (C26,
+    # AlignGraph.cpp:4789-4790) -> corrected_<file>
+    if cfg.misassembly_removal and cfg.extended_contig \
+            and cfg.remaining_contig:
+        from aligngraph_tpu.pipeline.misassembly import remove_misassembly
+        stage_banner(5, "misassembly removal")
+        remove_misassembly(cfg.extended_contig, cfg, gseq, reads,
+                           which="extended")
+        remove_misassembly(cfg.remaining_contig, cfg, gseq, reads,
+                           which="remaining",
+                           chaff=(contigs.chaff_ids, contigs.chaff_seqs))
+
     log.info("FINISHED in %.1fs (alignment %.1fs)", out.wall_seconds,
              align_seconds)
     return out

@@ -86,6 +86,18 @@ def test_pipeline_part2_consistency(sim_files):
     assert len(res.extended_ids) >= 1
 
 
+def test_pipeline_iterative_map(sim_files):
+    """--iterativeMap (per-part read alignment) must reach equivalent
+    output."""
+    d, sim = sim_files
+    cfg = make_cfg(d, part=2, iterative_map=True,
+                   extended_contig=str(d / "extended_im.fa"),
+                   remaining_contig=str(d / "remaining_im.fa"),
+                   work_dir=str(d / "tmp_im"))
+    res = run_pipeline(cfg)
+    assert len(res.extended_ids) >= 1
+
+
 def test_pipeline_resume(sim_files):
     d, sim = sim_files
     wd = str(d / "tmp_resume")

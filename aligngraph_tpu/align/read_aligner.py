@@ -143,12 +143,16 @@ class ReadAligner:
 
     # ------------------------------------------------------------------
     def align(self, reads: Reads) -> PairAlignments:
-        """Align all pairs; returns accepted pair alignments (host SoA)."""
+        """Align all pairs; returns accepted pair alignments (host SoA).
+
+        Device dispatch is asynchronous: all batches are enqueued before
+        any result is pulled, so compute, device->host transfer, and host
+        post-processing of consecutive batches overlap."""
         cfg = self.cfg
         P = self.batch_pairs
         L = max(reads.max_len, cfg.seed_len)
         n = reads.n_pairs
-        out_chunks = []
+        pending = []
         for start in range(0, max(n, 1), P):
             cnt = min(P, n - start) if n else 0
             seqs = np.full((2 * P, L), 4, np.int8)
@@ -157,14 +161,17 @@ class ReadAligner:
                 blk = reads.data[2 * start:2 * (start + cnt)]
                 seqs[:2 * cnt, :blk.shape[1]] = blk
                 plens[:cnt] = reads.lengths[start:start + cnt]
-            res = _align_pairs_device(
+            dev = _align_pairs_device(
                 self.genome, self.index.sorted_kmers, self.index.sorted_pos,
                 jnp.asarray(seqs), jnp.asarray(plens),
                 seed_len=cfg.seed_len, stride=cfg.seed_stride,
                 pad=cfg.band_pad, C=cfg.max_candidates,
                 K=MAX_PAIR_HITS, dlow=cfg.distance_low,
                 dhigh=cfg.distance_high)
-            res = jax.tree_util.tree_map(np.asarray, res)
+            pending.append((start, cnt, dev))
+        out_chunks = []
+        for start, cnt, dev in pending:
+            res = jax.tree_util.tree_map(np.asarray, dev)
             valid = res["valid"]  # [P, K]
             p_ids, k_ids = np.nonzero(valid[:cnt] if cnt else valid[:0])
             sel = (p_ids, k_ids)
@@ -204,7 +211,7 @@ def _align_pairs_device(genome, sorted_kmers, sorted_pos, seqs, plens, *,
     # --- seeding (both orientations) ---
     packed, offs, valid = pack_query_seeds(qseqs, seed_len, stride)
     valid = valid & (offs[None, :] <= (qlens[:, None] - seed_len))
-    hits = lookup_seeds(sorted_kmers, sorted_pos, packed, valid, 16)
+    hits = lookup_seeds(sorted_kmers, sorted_pos, packed, valid, 8)
     diags2, votes2 = select_candidates(hits, offs, pad, C)   # [2R, C]
 
     # --- joint-orientation top-C per read (most candidate slots of the

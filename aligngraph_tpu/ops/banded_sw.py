@@ -153,7 +153,7 @@ def sw_traceback(tb, best_i, best_b, g0, pad: int):
     tb_flat = tb.transpose(1, 0, 2).reshape(B, L * W)
     T = 2 * L + W + 2
 
-    def step(state, _):
+    def step_once(state):
         i, b, phase, active = state
         inb = active & (i >= 1) & (b >= 0) & (b < W)
         idx = jnp.clip((i - 1) * W + b, 0, L * W - 1)
@@ -184,11 +184,18 @@ def sw_traceback(tb, best_i, best_b, g0, pad: int):
         nactive = active & ~stop & inb
         return (ni, nb, nphase, nactive), (wr, gpos)
 
+    def step(state, _):
+        # 2 moves per scan iteration (halves sequential step count)
+        state, (wr1, g1) = step_once(state)
+        state, (wr2, g2) = step_once(state)
+        return state, (jnp.stack([wr1, wr2]), jnp.stack([g1, g2]))
+
     state0 = (best_i, best_b, jnp.zeros(B, jnp.int32), jnp.ones(B, bool))
-    _, (wr_all, gpos_all) = jax.lax.scan(step, state0, None, length=T)
+    _, (wr_all, gpos_all) = jax.lax.scan(step, state0, None,
+                                         length=T // 2 + 1)
     # one scatter after the scan (each read index written at most once)
     pos_map = jnp.full((B, L), -1, jnp.int32)
-    lane = jnp.broadcast_to(jnp.arange(B)[None, :], (T, B))
+    lane = jnp.broadcast_to(jnp.arange(B), wr_all.shape)
     pos_map = pos_map.at[lane.reshape(-1), wr_all.reshape(-1)].set(
         gpos_all.reshape(-1), mode="drop")
     return pos_map

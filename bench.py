@@ -65,15 +65,16 @@ def main():
     from aligngraph_tpu.config import Config
     from aligngraph_tpu.io.formalize import Reads
 
+    batch = int(os.environ.get("BENCH_BATCH", 16384))
     ref, data, lens = make_workload(genome_len=genome_len, n_pairs=n_pairs)
     reads = Reads(n_pairs, data.shape[1], data, lens)
     cfg = Config(distance_low=100, distance_high=900)
     t0 = time.time()
-    aligner = ReadAligner.build(ref, cfg, batch_pairs=4096)
+    aligner = ReadAligner.build(ref, cfg, batch_pairs=batch)
     index_s = time.time() - t0
 
     # warmup / compile on a small slice
-    nw = min(4096, n_pairs)
+    nw = min(batch, n_pairs)
     warm = Reads(nw, reads.max_len, data[: 2 * nw], lens[:nw])
     t0 = time.time()
     aligner.align(warm)

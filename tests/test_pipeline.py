@@ -114,6 +114,30 @@ def test_pipeline_resume(sim_files):
         [len(s) for s in res1.extended_seqs]
 
 
+def test_cli_determinism(sim_files):
+    """Two independent CLI processes must produce byte-identical output
+    (fixed reduction orders / stable sorts everywhere)."""
+    d, sim = sim_files
+    import os
+    env = dict(os.environ, JAX_PLATFORMS="cpu",
+               PYTHONPATH="/root/repo")
+    outs = []
+    for run in ("da", "db"):
+        args = [sys.executable, "-m", "aligngraph_tpu",
+                "--read1", str(d / "r1.fa"), "--read2", str(d / "r2.fa"),
+                "--contig", str(d / "contigs.fa"),
+                "--genome", str(d / "genome.fa"),
+                "--distanceLow", "300", "--distanceHigh", "700",
+                "--extendedContig", str(d / f"ext_{run}.fa"),
+                "--remainingContig", str(d / f"rem_{run}.fa")]
+        r = subprocess.run(args, capture_output=True, text=True,
+                           cwd=str(d), env=env, timeout=500)
+        assert r.returncode == 0, r.stderr[-2000:]
+        outs.append((open(d / f"ext_{run}.fa", "rb").read(),
+                     open(d / f"rem_{run}.fa", "rb").read()))
+    assert outs[0] == outs[1]
+
+
 def test_cli_usage():
     out = subprocess.run(
         [sys.executable, "-m", "aligngraph_tpu", "--help"],

@@ -36,7 +36,7 @@ from aligngraph_tpu.io.formalize import (Contigs, Genome, Reads,
                                          formalize_contigs,
                                          formalize_genome, formalize_reads)
 from aligngraph_tpu.pipeline.refinement import RefinementResult, refine
-from aligngraph_tpu.utils.log import stage_banner, get_logger
+from aligngraph_tpu.utils.log import stage_banner, get_logger, log_memory
 
 log = get_logger(__name__)
 
@@ -200,6 +200,7 @@ def run_pipeline(cfg: Config,
 
         scaffolds, _pre = extend_and_scaffold(g, cfg.coverage, cfg.k_mer)
         per_part_scaffolds.append(scaffolds)
+        log_memory(f"part {p + 1}")   # reference: ps euf >> mem.txt
         if checkpoint is not None:
             checkpoint.save_part(p, scaffolds, per_part_initials[-1])
             checkpoint.set(p + 1)

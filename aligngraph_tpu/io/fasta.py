@@ -68,6 +68,15 @@ def read_fasta(path_or_file) -> Tuple[List[str], List[bytes]]:
         f = path_or_file
         close = False
     else:
+        # native C++ parser for file paths (identical semantics; the
+        # Python loop below is the tested fallback/oracle)
+        try:
+            from aligngraph_tpu import native
+            out = native.read_fasta_native(str(path_or_file))
+            if out is not None:
+                return out
+        except Exception:
+            pass
         f = open(path_or_file, "rb")
         close = True
     ids: List[str] = []

@@ -16,35 +16,78 @@ from typing import List, Optional
 import numpy as np
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
-_SO = os.path.join(_HERE, "libagtraverse.so")
-_LIB = None
-_TRIED = False
+_LIBS: dict = {}
 
 
-def _build() -> Optional[str]:
-    src = os.path.join(_HERE, "traverse.cpp")
-    if os.path.exists(_SO) and os.path.getmtime(_SO) >= \
+def _build(name: str, src_name: str) -> Optional[str]:
+    so = os.path.join(_HERE, name)
+    src = os.path.join(_HERE, src_name)
+    if os.path.exists(so) and os.path.getmtime(so) >= \
             os.path.getmtime(src):
-        return _SO
+        return so
     try:
         subprocess.run(
-            ["g++", "-O3", "-shared", "-fPIC", "-o", _SO, src],
+            ["g++", "-O3", "-shared", "-fPIC", "-o", so, src],
             check=True, capture_output=True, timeout=120)
-        return _SO
+        return so
     except Exception:
         return None
 
 
-def get_lib():
-    global _LIB, _TRIED
-    if _LIB is None and not _TRIED:
-        _TRIED = True
-        so = _build()
+def _load(key: str, so_name: str, src_name: str, setup):
+    if key not in _LIBS:
+        so = _build(so_name, src_name)
+        lib = None
         if so:
-            lib = ctypes.CDLL(so)
-            lib.ag_extd_contigs1.restype = ctypes.c_int64
-            _LIB = lib
-    return _LIB
+            try:
+                lib = ctypes.CDLL(so)
+                setup(lib)
+            except Exception:
+                lib = None
+        _LIBS[key] = lib
+    return _LIBS[key]
+
+
+def get_lib():
+    def setup(lib):
+        lib.ag_extd_contigs1.restype = ctypes.c_int64
+    return _load("traverse", "libagtraverse.so", "traverse.cpp", setup)
+
+
+def get_fasta_lib():
+    def setup(lib):
+        lib.ag_parse_fasta.restype = ctypes.c_int64
+    return _load("fasta", "libagfasta.so", "fastaio.cpp", setup)
+
+
+def read_fasta_native(path):
+    """C++ FASTA parse -> (ids, seqs bytes) or None if unavailable."""
+    lib = get_fasta_lib()
+    if lib is None:
+        return None
+    with open(path, "rb") as f:
+        data = f.read()
+    n = len(data)
+    max_rec = max(1024, data.count(b">") + 1)
+    seq_buf = np.zeros(n, np.int8)
+    hdr_buf = np.zeros(n, np.int8)
+    seq_off = np.zeros(max_rec + 1, np.int64)
+    hdr_off = np.zeros(max_rec + 1, np.int64)
+    rc = lib.ag_parse_fasta(
+        data, ctypes.c_int64(n),
+        seq_buf.ctypes.data_as(ctypes.POINTER(ctypes.c_char)),
+        seq_off.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        hdr_buf.ctypes.data_as(ctypes.POINTER(ctypes.c_char)),
+        hdr_off.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        ctypes.c_int64(max_rec))
+    if rc < 0:
+        return None
+    nrec = int(rc)
+    sb = seq_buf.tobytes()
+    hb = hdr_buf.tobytes()
+    ids = [hb[hdr_off[i]:hdr_off[i + 1]].decode() for i in range(nrec)]
+    seqs = [sb[seq_off[i]:seq_off[i + 1]] for i in range(nrec)]
+    return ids, seqs
 
 
 def extd_contigs1_native(g, coverage: int, k: int):

@@ -32,6 +32,22 @@ def test_native_builds():
     assert native.get_lib() is not None, "g++ build failed"
 
 
+def test_native_fasta_matches_python(tmp_path):
+    import io as _io
+    from aligngraph_tpu.io.fasta import read_fasta
+    data = (b">rec one extra words\r\nACGTacgt\nNNN\n\n"
+            b">rec2\nTTTT\n>empty\n>last\nGG\n")
+    p = tmp_path / "t.fa"
+    p.write_bytes(data)
+    py = read_fasta(_io.BytesIO(data))       # python oracle (stream path)
+    cc = native.read_fasta_native(str(p))
+    assert cc is not None
+    assert cc[0] == py[0]
+    assert cc[1] == py[1]
+    # and the public read_fasta(path) now routes through native
+    assert read_fasta(str(p)) == py
+
+
 def test_native_matches_python_walk(built_graph):
     g, cfg = built_graph
     g_py = copy.deepcopy(g)

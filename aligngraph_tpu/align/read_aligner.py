@@ -231,12 +231,24 @@ def _align_pairs_device(genome, sorted_kmers, sorted_pos, seqs, plens, *,
     orient_s = jnp.take_along_axis(orient_j, sel, axis=1)
     diag_s = jnp.where(votes_s > 0, diag_s, INVALID_DIAG)
 
-    # --- DP on selected candidates [R*C] ---
-    diag_f = diag_s.reshape(-1)
-    cvalid = diag_f != INVALID_DIAG
-    diag_safe = jnp.where(cvalid, diag_f, 0)
+    # --- validity compaction: most candidate slots are empty (avg ~1.2
+    # real candidates/read); sort valid-first and run DP/traceback/stats
+    # on the top half only.  Stable sort keeps per-read vote rank, so in
+    # extreme repeat batches only lowest-rank candidates are shed
+    # (deterministic; documented in PARITY.md).
+    diag_f = diag_s.reshape(-1)                      # [R*C]
+    cvalid_f = diag_f != INVALID_DIAG
+    B_full = R * C
+    TOP = B_full // 2
+    order = jnp.argsort(~cvalid_f, stable=True)      # valid rows first
+    top = order[:TOP]
+    inv = jnp.full(B_full, -1, jnp.int32).at[top].set(
+        jnp.arange(TOP, dtype=jnp.int32))            # full row -> top row
+
+    cvalid = cvalid_f[top]
+    diag_safe = jnp.where(cvalid, diag_f[top], 0)
     rr = jnp.repeat(jnp.arange(R, dtype=jnp.int32), C)
-    qidx = orient_s.reshape(-1) * R + rr             # row in qseqs
+    qidx = (orient_s.reshape(-1) * R + rr)[top]      # row in qseqs
     x = (diag_safe[:, None] - pad
          + jnp.arange(WL, dtype=jnp.int32)[None, :])
     windows = jnp.where((x >= 0) & (x < G),
@@ -245,7 +257,7 @@ def _align_pairs_device(genome, sorted_kmers, sorted_pos, seqs, plens, *,
     clens = qlens[qidx]
     res = banded_sw_auto(creads, jnp.where(cvalid, clens, 0), windows, pad=pad)
     pos_map = sw_traceback(res.tb, res.best_i, res.best_b, diag_safe,
-                           pad=pad)                  # [R*C, L]
+                           pad=pad)                  # [TOP, L]
     st = _candidate_stats(pos_map, clens)
     score = jnp.where(cvalid, res.score, -1)
     score_min = jnp.ceil(
@@ -255,13 +267,17 @@ def _align_pairs_device(genome, sorted_kmers, sorted_pos, seqs, plens, *,
     good = cvalid & (score >= score_min) & (st["match"] > 0)
 
     # --- per-mate candidate tables [P, 2, C] ---
-    # candidate index for (pair p, mate m, cand c): (2p + m)*C + c
+    # full-layout candidate index for (pair p, mate m, cand c):
+    # (2p + m)*C + c, remapped through the compaction permutation
     r_ids = (2 * jnp.arange(P, dtype=jnp.int32)[:, None, None]
              + jnp.arange(2, dtype=jnp.int32)[None, :, None])   # [P,2,1]
     c_ids = jnp.arange(C, dtype=jnp.int32)[None, None, :]
-    cand = r_ids * C + c_ids                         # [P, 2, C]
-    m_fr = orient_s.reshape(-1)[cand].astype(jnp.int8)
-    m_good = good[cand]
+    cand_full = r_ids * C + c_ids                    # [P, 2, C]
+    cand = inv[cand_full]                            # top-row idx or -1
+    present = cand >= 0
+    cand = jnp.where(present, cand, 0)
+    m_fr = orient_s.reshape(-1)[cand_full].astype(jnp.int8)
+    m_good = good[cand] & present
     m_score = score[cand]
     m_ts = st["tgt_start"][cand]
     m_tea = st["tgt_end_actual"][cand]

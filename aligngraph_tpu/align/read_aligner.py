@@ -132,11 +132,11 @@ class ReadAligner:
     genome: jax.Array          # [G] int8
     index: SeedIndex
     cfg: Config
-    batch_pairs: int = 2048
+    batch_pairs: int = 4096
 
     @classmethod
     def build(cls, genome_codes: np.ndarray, cfg: Config,
-              batch_pairs: int = 2048) -> "ReadAligner":
+              batch_pairs: int = 4096) -> "ReadAligner":
         idx = build_index(genome_codes, cfg.seed_len)
         return cls(genome=jnp.asarray(genome_codes), index=idx, cfg=cfg,
                    batch_pairs=batch_pairs)

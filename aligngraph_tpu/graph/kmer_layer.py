@@ -372,13 +372,13 @@ def _merge_chunk(g: GraphTensors, tup, insert_variation: int,
         return
 
     # ---- phase 3: coarse grouping ----
+    # arrival is the MOST-MINOR sort key: the first row of each sorted
+    # group is its first-arrival representative (no ufunc.at reductions)
     coff0_q = np.where(rows["coff0"] >= 0, rows["coff0"] // bucket, NONE)
     gpos0_q = np.where(rows["gpos0"] >= 0, rows["gpos0"] // bucket, NONE)
-    keys = (gpos0_q, coff0_q, rows["contig0"], rows["coff"], rows["contig"],
-            rows["pos"])
-    order = np.lexsort(keys)
-    inv_order = np.empty(R, np.int64)
-    inv_order[order] = np.arange(R)
+    keys = (gpos0_q, coff0_q, rows["contig0"], rows["coff"],
+            rows["contig"], rows["pos"])
+    order = np.lexsort((rows["arrival"],) + keys)
     sk = [kk[order] for kk in keys]
     newg = np.zeros(R, bool)
     newg[0] = True
@@ -389,23 +389,18 @@ def _merge_chunk(g: GraphTensors, tup, insert_variation: int,
     st.groups += G
     gid = np.empty(R, np.int64)
     gid[order] = gid_sorted
+    starts = np.nonzero(newg)[0]
 
-    g_pos = np.zeros(G, np.int64)
-    g_pos[gid] = rows["pos"]
+    rep_row = order[starts]                 # first-arrival row per group
+    g_first = rows["arrival"][rep_row]
+    g_pos = rows["pos"][rep_row]
     g_weight = np.bincount(gid, weights=rows["weight"],
                            minlength=G).astype(np.int64)
-    g_votes = np.zeros((G, 5), np.int64)
-    voters = rows["s_len"] > 0
-    vw = rows["weight"] > 0
-    vsel = voters & vw
-    np.add.at(g_votes, (gid[vsel], rows["s0"][vsel].astype(np.int64)), 1)
-    # first-arrival representative
-    g_first = np.full(G, np.iinfo(np.int64).max)
-    np.minimum.at(g_first, gid, rows["arrival"])
-    is_first = rows["arrival"] == g_first[gid]
-    # stable pick: lowest row index among firsts
-    rep_row = np.full(G, R, np.int64)
-    np.minimum.at(rep_row, gid[is_first], np.nonzero(is_first)[0])
+    voters = (rows["s_len"] > 0) & (rows["weight"] > 0)
+    g_votes = np.bincount(
+        gid * 5 + rows["s0"].astype(np.int64),
+        weights=voters.astype(np.int64), minlength=G * 5
+    ).reshape(G, 5).astype(np.int64)
 
     def rep(name):
         return rows[name][rep_row]

@@ -84,6 +84,32 @@ def test_kmer_layer_coverage_and_votes():
     assert (e >= 1).mean() > 0.8
 
 
+def test_kmer_layer_chunk_invariance():
+    """Slot state must not depend on the record-chunking granularity
+    (slot reps/coverage/votes/edges accumulate identically)."""
+    sim = make_simdata(seed=33, genome_len=4000, n_pairs=250, read_len=70,
+                      insert=350, snp_rate=0.0, err_rate=0.0, n_contigs=2)
+    cfg = Config(distance_low=100, distance_high=600, k_mer=5)
+    contigs, reads, cali, rali = align_all(sim, cfg)
+    gs = []
+    for chunk in (17, 100000):
+        g = GraphTensors.create(sim.reference)
+        build_contig_layer(g, contigs, cali)
+        st = build_kmer_layer(g, rali, reads, cfg.k_mer,
+                              cfg.insert_variation, chunk_records=chunk)
+        assert st.dropped_rank == 0 and st.dropped_slots == 0
+        gs.append(g)
+    a, b = gs
+    np.testing.assert_array_equal(a.km_cnt, b.km_cnt)
+    np.testing.assert_array_equal(a.km_cov, b.km_cov)
+    np.testing.assert_array_equal(a.km_votes, b.km_votes)
+    np.testing.assert_array_equal(a.km_contig, b.km_contig)
+    np.testing.assert_array_equal(a.km_mate, b.km_mate)
+    np.testing.assert_array_equal(a.ed_cnt, b.ed_cnt)
+    np.testing.assert_array_equal(a.ed_pos, b.ed_pos)
+    np.testing.assert_array_equal(a.ed_item, b.ed_item)
+
+
 def test_extension_bridges_gap():
     """Two draft contigs with a read-covered gap must extend/join."""
     rng = np.random.default_rng(4)

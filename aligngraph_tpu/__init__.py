@@ -40,4 +40,11 @@ if not _os.environ.get("AG_TPU_NO_CACHE"):
     except Exception:  # pragma: no cover - cache is best-effort
         pass
 
+# Host malloc tuning: on sandboxed kernels first-touch page faults make
+# fresh large allocations ~1000x slower than warm memory; keep freed
+# pages on the heap so numpy temporaries reuse them (utils/hostmem.py).
+from aligngraph_tpu.utils.hostmem import tune_host_malloc as _thm
+
+_thm()
+
 from aligngraph_tpu.config import Config  # noqa: F401

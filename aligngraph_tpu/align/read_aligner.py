@@ -147,7 +147,15 @@ class ReadAligner:
 
         Device dispatch is asynchronous: all batches are enqueued before
         any result is pulled, so compute, device->host transfer, and host
-        post-processing of consecutive batches overlap."""
+        post-processing of consecutive batches overlap.
+
+        Transfer format: the device compacts the [P, K] pair-hit table to
+        its valid slots (~1 per pair in practice) and ships int16-packed
+        M-block segments only; the parse quantities (C9 equivalents) are
+        recomputed on host from the segments with the exact device
+        formulas.  If a batch has more valid slots than the compaction
+        capacity (extreme multi-mapping), it transparently re-runs through
+        the full-layout path."""
         cfg = self.cfg
         P = self.batch_pairs
         L = max(reads.max_len, cfg.seed_len)
@@ -161,36 +169,109 @@ class ReadAligner:
                 blk = reads.data[2 * start:2 * (start + cnt)]
                 seqs[:2 * cnt, :blk.shape[1]] = blk
                 plens[:cnt] = reads.lengths[start:start + cnt]
-            dev = _align_pairs_device(
+            dev = _align_pairs_compact(
                 self.genome, self.index.sorted_kmers, self.index.sorted_pos,
                 jnp.asarray(seqs), jnp.asarray(plens),
                 seed_len=cfg.seed_len, stride=cfg.seed_stride,
                 pad=cfg.band_pad, C=cfg.max_candidates,
                 K=MAX_PAIR_HITS, dlow=cfg.distance_low,
                 dhigh=cfg.distance_high)
-            pending.append((start, cnt, dev))
+            pending.append((start, cnt, dev, np.asarray(seqs), plens))
         out_chunks = []
-        for start, cnt, dev in pending:
+        for start, cnt, dev, seqs, plens in pending:
             res = jax.tree_util.tree_map(np.asarray, dev)
-            valid = res["valid"]  # [P, K]
-            p_ids, k_ids = np.nonzero(valid[:cnt] if cnt else valid[:0])
-            sel = (p_ids, k_ids)
-            out_chunks.append(dict(
-                pair_id=(p_ids + start).astype(np.int32),
-                fr=res["fr"][sel],
-                score=res["score"][sel],
-                source_start=res["src_start"][sel],
-                source_end=res["src_end"][sel],
-                source_gap=res["src_gap"][sel],
-                source_size=res["src_size"][sel],
-                target_start=res["tgt_start"][sel],
-                target_end=res["tgt_end"][sel],
-                target_gap=res["tgt_gap"][sel],
-                pos_map=reconstruct_pos_map(res["segs"][sel], L),
-            ))
+            if int(res["n_valid"]) > res["slot_id"].shape[0]:
+                # compaction overflow (pathological multi-mapping batch):
+                # re-run through the uncompacted path
+                full = _align_pairs_device(
+                    self.genome, self.index.sorted_kmers,
+                    self.index.sorted_pos, jnp.asarray(seqs),
+                    jnp.asarray(plens), seed_len=cfg.seed_len,
+                    stride=cfg.seed_stride, pad=cfg.band_pad,
+                    C=cfg.max_candidates, K=MAX_PAIR_HITS,
+                    dlow=cfg.distance_low, dhigh=cfg.distance_high)
+                full = jax.tree_util.tree_map(np.asarray, full)
+                out_chunks.append(_expand_full(full, start, cnt, L))
+            else:
+                out_chunks.append(
+                    _expand_compact(res, start, cnt, L, plens))
         cat = {k: np.concatenate([c[k] for c in out_chunks])
                for k in out_chunks[0]}
         return PairAlignments(**cat)
+
+
+def _expand_full(res, start: int, cnt: int, L: int) -> dict:
+    """Host extraction from the full [P, K] device layout."""
+    valid = res["valid"]
+    p_ids, k_ids = np.nonzero(valid[:cnt] if cnt else valid[:0])
+    sel = (p_ids, k_ids)
+    return dict(
+        pair_id=(p_ids + start).astype(np.int32),
+        fr=res["fr"][sel],
+        score=res["score"][sel],
+        source_start=res["src_start"][sel],
+        source_end=res["src_end"][sel],
+        source_gap=res["src_gap"][sel],
+        source_size=res["src_size"][sel],
+        target_start=res["tgt_start"][sel],
+        target_end=res["tgt_end"][sel],
+        target_gap=res["tgt_gap"][sel],
+        pos_map=reconstruct_pos_map(res["segs"][sel], L),
+    )
+
+
+def _expand_compact(res, start: int, cnt: int, L: int,
+                    plens: np.ndarray) -> dict:
+    """Host extraction from the compact valid-slot transfer format.
+
+    Recomputes the parse quantities (_candidate_stats equivalents) from
+    the int16 segment records with identical integer formulas, so results
+    are bit-equal to the full path (tested)."""
+    K = MAX_PAIR_HITS
+    slot = res["slot_id"]
+    mask = slot >= 0
+    slot = slot[mask]
+    p_ids = slot // K
+    keep = p_ids < max(cnt, 0)
+    slot = slot[keep]
+    p_ids = p_ids[keep]
+    sel = np.nonzero(mask)[0][keep]
+    fr = res["fr"][sel]
+    score = res["score"][sel].astype(np.int32)
+    tgt_base = res["tgt_base"][sel]                      # [n, 2]
+    s16 = res["segs16"][sel].astype(np.int32)            # [n, 2, S, 3]
+    sz = s16[..., 2]
+    segv = sz > 0
+    segs = np.stack([
+        np.where(segv, s16[..., 0], -1),
+        np.where(segv, tgt_base[..., None] + s16[..., 1], -1),
+        np.where(segv, sz, -1),
+    ], axis=-1)                                          # [n, 2, S, 3]
+    match = np.sum(np.where(segv, sz, 0), axis=-1)       # [n, 2]
+    nseg = np.maximum(segv.sum(axis=-1), 1)
+    last = (nseg - 1)[..., None]
+    ss = s16[..., 0, 0]
+    src_last = np.take_along_axis(s16[..., 0], last, axis=-1)[..., 0]
+    sz_last = np.take_along_axis(sz, last, axis=-1)[..., 0]
+    se = src_last + sz_last
+    ins = (se - ss) - match
+    tea = np.take_along_axis(segs[..., 1], last, axis=-1)[..., 0] + sz_last
+    dele = (tea - tgt_base) - match
+    qlen = plens[p_ids][:, None].astype(np.int32)
+    te_ref = tgt_base + qlen + dele - ins
+    return dict(
+        pair_id=(p_ids + start).astype(np.int32),
+        fr=fr,
+        score=score,
+        source_start=ss.astype(np.int32),
+        source_end=se.astype(np.int32),
+        source_gap=ins.astype(np.int32),
+        source_size=np.broadcast_to(qlen, ins.shape).copy(),
+        target_start=tgt_base,
+        target_end=te_ref.astype(np.int32),
+        target_gap=dele.astype(np.int32),
+        pos_map=reconstruct_pos_map(segs, L),
+    )
 
 
 @partial(jax.jit, static_argnames=("seed_len", "stride", "pad", "C", "K",
@@ -353,3 +434,46 @@ def _align_pairs_device(genome, sorted_kmers, sorted_pos, seqs, plens, *,
     out["valid"] = out["valid"] & ~jnp.any(
         overflow.reshape(P, K, 2), axis=-1)
     return out
+
+
+@partial(jax.jit, static_argnames=("seed_len", "stride", "pad", "C", "K",
+                                   "dlow", "dhigh"))
+def _align_pairs_compact(genome, sorted_kmers, sorted_pos, seqs, plens, *,
+                         seed_len, stride, pad, C, K, dlow, dhigh):
+    """_align_pairs_device + valid-slot compaction of the transfer.
+
+    The [P, K] hit table averages ~1 valid slot per pair; the device->host
+    tunnel is bandwidth-bound, so only the valid slots are shipped, with
+    M-block segments packed to int16 (src_start, tgt_start - tgt_base,
+    size).  Capacity is 3P/2 slots; `n_valid` lets the host detect
+    overflow and fall back to the full layout."""
+    out = _align_pairs_device.__wrapped__(
+        genome, sorted_kmers, sorted_pos, seqs, plens, seed_len=seed_len,
+        stride=stride, pad=pad, C=C, K=K, dlow=dlow, dhigh=dhigh)
+    P = out["valid"].shape[0]
+    M = (3 * P) // 2
+    valid_f = out["valid"].reshape(P * K)
+    order = jnp.argsort(~valid_f, stable=True)   # valid slots first, in
+    slots = order[:M].astype(jnp.int32)          # (pair, k) order
+    svalid = valid_f[slots]
+    p_ids = slots // K
+    k_ids = slots % K
+
+    def g(a):
+        return a[p_ids, k_ids]
+
+    segs = g(out["segs"])                        # [M, 2, S, 3] int32
+    tgt_base = g(out["tgt_start"])               # [M, 2]
+    segv = segs[..., 2] > 0
+    seg_src = segs[..., 0].astype(jnp.int16)
+    seg_dt = jnp.where(segv, segs[..., 1] - tgt_base[..., None],
+                       -1).astype(jnp.int16)
+    seg_sz = segs[..., 2].astype(jnp.int16)
+    return dict(
+        n_valid=jnp.sum(valid_f.astype(jnp.int32)),
+        slot_id=jnp.where(svalid, slots, -1),
+        fr=g(out["fr"]),
+        score=g(out["score"]).astype(jnp.int16),
+        tgt_base=tgt_base,
+        segs16=jnp.stack([seg_src, seg_dt, seg_sz], axis=-1),
+    )

@@ -73,7 +73,10 @@ def main():
     aligner = ReadAligner.build(ref, cfg, batch_pairs=batch)
     index_s = time.time() - t0
 
-    # warmup / compile on a small slice
+    # warmup: compile on a small slice + pre-fault host heap pages (on
+    # this VM first-touch page faults run at ~7 MB/s; hostmem.py)
+    from aligngraph_tpu.utils.hostmem import warm_heap
+    warm_heap(1 << 30)
     nw = min(batch, n_pairs)
     warm = Reads(nw, reads.max_len, data[: 2 * nw], lens[:nw])
     t0 = time.time()

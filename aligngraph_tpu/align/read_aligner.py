@@ -32,8 +32,8 @@ from aligngraph_tpu.config import Config
 from aligngraph_tpu.io.formalize import Reads
 from aligngraph_tpu.ops.banded_sw import banded_sw_auto, sw_traceback
 from aligngraph_tpu.ops.seeding import (
-    INVALID_DIAG, SeedIndex, build_index, lookup_seeds, pack_query_seeds,
-    select_candidates,
+    INVALID_DIAG, SeedIndex, build_index, lookup_seeds_bucketed,
+    pack_query_seeds, select_candidates,
 )
 
 SCORE_MIN_CONST = 5.0   # bowtie2 --score-min G,5,2
@@ -171,11 +171,13 @@ class ReadAligner:
                 plens[:cnt] = reads.lengths[start:start + cnt]
             dev = _align_pairs_compact(
                 self.genome, self.index.sorted_kmers, self.index.sorted_pos,
-                jnp.asarray(seqs), jnp.asarray(plens),
+                self.index.bucket_lo, jnp.asarray(seqs), jnp.asarray(plens),
                 seed_len=cfg.seed_len, stride=cfg.seed_stride,
                 pad=cfg.band_pad, C=cfg.max_candidates,
                 K=MAX_PAIR_HITS, dlow=cfg.distance_low,
-                dhigh=cfg.distance_high)
+                dhigh=cfg.distance_high,
+                bsteps=self.index.search_steps,
+                sbits=self.index.suffix_bits)
             pending.append((start, cnt, dev, np.asarray(seqs), plens))
         out_chunks = []
         for start, cnt, dev, seqs, plens in pending:
@@ -185,11 +187,14 @@ class ReadAligner:
                 # re-run through the uncompacted path
                 full = _align_pairs_device(
                     self.genome, self.index.sorted_kmers,
-                    self.index.sorted_pos, jnp.asarray(seqs),
+                    self.index.sorted_pos, self.index.bucket_lo,
+                    jnp.asarray(seqs),
                     jnp.asarray(plens), seed_len=cfg.seed_len,
                     stride=cfg.seed_stride, pad=cfg.band_pad,
                     C=cfg.max_candidates, K=MAX_PAIR_HITS,
-                    dlow=cfg.distance_low, dhigh=cfg.distance_high)
+                    dlow=cfg.distance_low, dhigh=cfg.distance_high,
+                    bsteps=self.index.search_steps,
+                    sbits=self.index.suffix_bits)
                 full = jax.tree_util.tree_map(np.asarray, full)
                 out_chunks.append(_expand_full(full, start, cnt, L))
             else:
@@ -275,9 +280,10 @@ def _expand_compact(res, start: int, cnt: int, L: int,
 
 
 @partial(jax.jit, static_argnames=("seed_len", "stride", "pad", "C", "K",
-                                   "dlow", "dhigh"))
-def _align_pairs_device(genome, sorted_kmers, sorted_pos, seqs, plens, *,
-                        seed_len, stride, pad, C, K, dlow, dhigh):
+                                   "dlow", "dhigh", "bsteps", "sbits"))
+def _align_pairs_device(genome, sorted_kmers, sorted_pos, bucket_lo, seqs,
+                        plens, *, seed_len, stride, pad, C, K, dlow, dhigh,
+                        bsteps, sbits):
     """One batch of P pairs -> top-K pair alignments per pair."""
     G = genome.shape[0]
     R, L = seqs.shape            # R = 2P (mate-interleaved)
@@ -292,7 +298,8 @@ def _align_pairs_device(genome, sorted_kmers, sorted_pos, seqs, plens, *,
     # --- seeding (both orientations) ---
     packed, offs, valid = pack_query_seeds(qseqs, seed_len, stride)
     valid = valid & (offs[None, :] <= (qlens[:, None] - seed_len))
-    hits = lookup_seeds(sorted_kmers, sorted_pos, packed, valid, 8)
+    hits = lookup_seeds_bucketed(sorted_kmers, sorted_pos, bucket_lo,
+                                 packed, valid, 8, bsteps, sbits)
     diags2, votes2 = select_candidates(hits, offs, pad, C)   # [2R, C]
 
     # --- joint-orientation top-C per read (most candidate slots of the
@@ -314,13 +321,14 @@ def _align_pairs_device(genome, sorted_kmers, sorted_pos, seqs, plens, *,
 
     # --- validity compaction: most candidate slots are empty (avg ~1.2
     # real candidates/read); sort valid-first and run DP/traceback/stats
-    # on the top half only.  Stable sort keeps per-read vote rank, so in
-    # extreme repeat batches only lowest-rank candidates are shed
-    # (deterministic; documented in PARITY.md).
-    diag_f = diag_s.reshape(-1)                      # [R*C]
+    # on the top quarter only (avg capacity 2 candidates/read).  The
+    # flatten is RANK-major (all rank-0 candidates of every read first),
+    # so when a repeat-heavy batch overflows capacity, only the lowest-
+    # vote-rank candidates are shed (deterministic; PARITY.md).
+    diag_f = diag_s.T.reshape(-1)                    # [C*R] rank-major
     cvalid_f = diag_f != INVALID_DIAG
     B_full = R * C
-    TOP = B_full // 2
+    TOP = B_full // 4
     order = jnp.argsort(~cvalid_f, stable=True)      # valid rows first
     top = order[:TOP]
     inv = jnp.full(B_full, -1, jnp.int32).at[top].set(
@@ -328,8 +336,8 @@ def _align_pairs_device(genome, sorted_kmers, sorted_pos, seqs, plens, *,
 
     cvalid = cvalid_f[top]
     diag_safe = jnp.where(cvalid, diag_f[top], 0)
-    rr = jnp.repeat(jnp.arange(R, dtype=jnp.int32), C)
-    qidx = (orient_s.reshape(-1) * R + rr)[top]      # row in qseqs
+    rr = top % R                                     # read row of each slot
+    qidx = orient_s.T.reshape(-1)[top] * R + rr      # row in qseqs
     x = (diag_safe[:, None] - pad
          + jnp.arange(WL, dtype=jnp.int32)[None, :])
     windows = jnp.where((x >= 0) & (x < G),
@@ -348,16 +356,16 @@ def _align_pairs_device(genome, sorted_kmers, sorted_pos, seqs, plens, *,
     good = cvalid & (score >= score_min) & (st["match"] > 0)
 
     # --- per-mate candidate tables [P, 2, C] ---
-    # full-layout candidate index for (pair p, mate m, cand c):
-    # (2p + m)*C + c, remapped through the compaction permutation
+    # rank-major full-layout candidate index for (pair p, mate m, cand c):
+    # c*R + (2p + m), remapped through the compaction permutation
     r_ids = (2 * jnp.arange(P, dtype=jnp.int32)[:, None, None]
              + jnp.arange(2, dtype=jnp.int32)[None, :, None])   # [P,2,1]
     c_ids = jnp.arange(C, dtype=jnp.int32)[None, None, :]
-    cand_full = r_ids * C + c_ids                    # [P, 2, C]
+    cand_full = c_ids * R + r_ids                    # [P, 2, C]
     cand = inv[cand_full]                            # top-row idx or -1
     present = cand >= 0
     cand = jnp.where(present, cand, 0)
-    m_fr = orient_s.reshape(-1)[cand_full].astype(jnp.int8)
+    m_fr = orient_s.T.reshape(-1)[cand_full].astype(jnp.int8)
     m_good = good[cand] & present
     m_score = score[cand]
     m_ts = st["tgt_start"][cand]
@@ -437,9 +445,10 @@ def _align_pairs_device(genome, sorted_kmers, sorted_pos, seqs, plens, *,
 
 
 @partial(jax.jit, static_argnames=("seed_len", "stride", "pad", "C", "K",
-                                   "dlow", "dhigh"))
-def _align_pairs_compact(genome, sorted_kmers, sorted_pos, seqs, plens, *,
-                         seed_len, stride, pad, C, K, dlow, dhigh):
+                                   "dlow", "dhigh", "bsteps", "sbits"))
+def _align_pairs_compact(genome, sorted_kmers, sorted_pos, bucket_lo, seqs,
+                         plens, *, seed_len, stride, pad, C, K, dlow, dhigh,
+                         bsteps, sbits):
     """_align_pairs_device + valid-slot compaction of the transfer.
 
     The [P, K] hit table averages ~1 valid slot per pair; the device->host
@@ -448,8 +457,9 @@ def _align_pairs_compact(genome, sorted_kmers, sorted_pos, seqs, plens, *,
     size).  Capacity is 3P/2 slots; `n_valid` lets the host detect
     overflow and fall back to the full layout."""
     out = _align_pairs_device.__wrapped__(
-        genome, sorted_kmers, sorted_pos, seqs, plens, seed_len=seed_len,
-        stride=stride, pad=pad, C=C, K=K, dlow=dlow, dhigh=dhigh)
+        genome, sorted_kmers, sorted_pos, bucket_lo, seqs, plens,
+        seed_len=seed_len, stride=stride, pad=pad, C=C, K=K, dlow=dlow,
+        dhigh=dhigh, bsteps=bsteps, sbits=sbits)
     P = out["valid"].shape[0]
     M = (3 * P) // 2
     valid_f = out["valid"].reshape(P * K)

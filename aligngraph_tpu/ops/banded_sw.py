@@ -184,15 +184,22 @@ def sw_traceback(tb, best_i, best_b, g0, pad: int):
         nactive = active & ~stop & inb
         return (ni, nb, nphase, nactive), (wr, gpos)
 
+    UNROLL = 8
+
     def step(state, _):
-        # 2 moves per scan iteration (halves sequential step count)
-        state, (wr1, g1) = step_once(state)
-        state, (wr2, g2) = step_once(state)
-        return state, (jnp.stack([wr1, wr2]), jnp.stack([g1, g2]))
+        # UNROLL moves per scan iteration: the per-iteration cost is
+        # dominated by kernel-launch overhead of the [B] gathers, not the
+        # work, so fewer+fatter iterations win
+        wrs, gs = [], []
+        for _u in range(UNROLL):
+            state, (wr, g) = step_once(state)
+            wrs.append(wr)
+            gs.append(g)
+        return state, (jnp.stack(wrs), jnp.stack(gs))
 
     state0 = (best_i, best_b, jnp.zeros(B, jnp.int32), jnp.ones(B, bool))
     _, (wr_all, gpos_all) = jax.lax.scan(step, state0, None,
-                                         length=T // 2 + 1)
+                                         length=T // UNROLL + 1)
     # one scatter after the scan (each read index written at most once)
     pos_map = jnp.full((B, L), -1, jnp.int32)
     lane = jnp.broadcast_to(jnp.arange(B), wr_all.shape)

@@ -131,10 +131,12 @@ def test_compact_transfer_equals_full():
         plens[:cnt] = reads.lengths[start:start + cnt]
         full = ra._align_pairs_device(
             al.genome, al.index.sorted_kmers, al.index.sorted_pos,
+            al.index.bucket_lo,
             jnp.asarray(seqs), jnp.asarray(plens), seed_len=cfg.seed_len,
             stride=cfg.seed_stride, pad=cfg.band_pad,
             C=cfg.max_candidates, K=ra.MAX_PAIR_HITS,
-            dlow=cfg.distance_low, dhigh=cfg.distance_high)
+            dlow=cfg.distance_low, dhigh=cfg.distance_high,
+            bsteps=al.index.search_steps, sbits=al.index.suffix_bits)
         full = {k: np.asarray(v) for k, v in full.items()}
         chunks.append(ra._expand_full(full, start, cnt, L))
     want = {k: np.concatenate([c[k] for c in chunks]) for k in chunks[0]}
@@ -145,3 +147,26 @@ def test_compact_transfer_equals_full():
                   "target_end", "target_gap", "pos_map"):
         np.testing.assert_array_equal(getattr(res, field), want[field],
                                       err_msg=field)
+
+
+def test_bucketed_lookup_equals_searchsorted():
+    import jax.numpy as jnp
+
+    from aligngraph_tpu.ops.seeding import (
+        build_index, lookup_seeds, lookup_seeds_bucketed, pack_query_seeds,
+    )
+
+    rng = np.random.default_rng(7)
+    genome = rng.integers(0, 4, 50_000).astype(np.int8)
+    genome[rng.random(genome.shape) < 0.001] = 4   # sprinkle Ns
+    idx = build_index(genome, 15)
+    qs = np.full((64, 100), 4, np.int8)
+    for i in range(64):
+        s = rng.integers(0, len(genome) - 100)
+        qs[i] = genome[s:s + 100]
+    packed, offs, valid = pack_query_seeds(jnp.asarray(qs), 15, 8)
+    a = lookup_seeds(idx.sorted_kmers, idx.sorted_pos, packed, valid, 8)
+    b = lookup_seeds_bucketed(idx.sorted_kmers, idx.sorted_pos,
+                              idx.bucket_lo, packed, valid, 8,
+                              idx.search_steps, idx.suffix_bits)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

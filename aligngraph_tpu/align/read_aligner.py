@@ -30,7 +30,7 @@ import numpy as np
 from aligngraph_tpu.align.types import PairAlignments
 from aligngraph_tpu.config import Config
 from aligngraph_tpu.io.formalize import Reads
-from aligngraph_tpu.ops.banded_sw import banded_sw_auto, sw_traceback
+from aligngraph_tpu.ops.banded_sw import banded_sw_posmap_auto
 from aligngraph_tpu.ops.seeding import (
     INVALID_DIAG, SeedIndex, build_index, lookup_seeds_bucketed,
     pack_query_seeds, select_candidates,
@@ -344,11 +344,10 @@ def _align_pairs_device(genome, sorted_kmers, sorted_pos, bucket_lo, seqs,
                         genome[jnp.clip(x, 0, G - 1)], jnp.int8(4))
     creads = qseqs[qidx]
     clens = qlens[qidx]
-    res = banded_sw_auto(creads, jnp.where(cvalid, clens, 0), windows, pad=pad)
-    pos_map = sw_traceback(res.tb, res.best_i, res.best_b, diag_safe,
-                           pad=pad)                  # [TOP, L]
-    st = _candidate_stats(pos_map, clens)
-    score = jnp.where(cvalid, res.score, -1)
+    sw_score, pos_map = banded_sw_posmap_auto(
+        creads, jnp.where(cvalid, clens, 0), windows, diag_safe, pad=pad)
+    st = _candidate_stats(pos_map, clens)            # pos_map [TOP, L]
+    score = jnp.where(cvalid, sw_score, -1)
     score_min = jnp.ceil(
         SCORE_MIN_CONST
         + SCORE_MIN_COEFF * jnp.log(jnp.maximum(clens, 2).astype(jnp.float32))

@@ -57,6 +57,22 @@ def banded_sw_auto(reads, rlens, windows, pad: int) -> "SWResult":
     return banded_sw(reads, rlens, windows, pad=pad)
 
 
+def banded_sw_posmap_auto(reads, rlens, windows, g0, pad: int):
+    """DP + traceback -> (score [B], pos_map [B, L]); platform dispatch.
+
+    On TPU this is the fused Pallas pair (DP kernel + row-sweep traceback
+    kernel, traceback bits stay in tiled VMEM layout); elsewhere the XLA
+    DP + gather-walk traceback.  Results are bit-equal (tested)."""
+    if jax.default_backend() != "cpu" and reads.shape[0] % 128 == 0:
+        from aligngraph_tpu.ops.banded_sw_pallas import (
+            banded_sw_posmap_pallas,
+        )
+        return banded_sw_posmap_pallas(reads, rlens, windows, g0, pad=pad)
+    res = banded_sw(reads, rlens, windows, pad=pad)
+    pm = sw_traceback(res.tb, res.best_i, res.best_b, g0, pad=pad)
+    return res.score, pm
+
+
 def _shift_down(a, s):
     """band-index shift: out[b] = a[b-s] (NEG fill)."""
     B, W = a.shape

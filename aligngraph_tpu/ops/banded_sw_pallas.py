@@ -156,3 +156,142 @@ def banded_sw_pallas(reads, rlens, windows, pad: int) -> SWResult:
     tb_out = jnp.transpose(tb, (1, 0, 3, 2)).reshape(L8, B, W)[:L]
     return SWResult(score.reshape(B), bi.reshape(B), bb.reshape(B),
                     tb_out)
+
+
+def _masked_read(slab, b, W):
+    """slab (W, TB) int32, b (TB,) int32 in [0, W) -> slab[b, lane]."""
+    widx = jax.lax.broadcasted_iota(jnp.int32, slab.shape, 0)
+    return jnp.max(jnp.where(widx == b[None, :], slab, 0), axis=0)
+
+
+def _tb_kernel(tb_ref, bi_ref, bb_ref, g0_ref, pm_ref, *, L: int, W: int,
+               pad: int):
+    """Row-sweep traceback: identical semantics to banded_sw.sw_traceback.
+
+    All lanes walk their path during a single descending sweep over rows
+    (every traceback move is row-non-increasing).  A lane activates when
+    the sweep reaches its best row; within a row, micro-steps replicate
+    sw_traceback.step_once exactly (H/E/F phases, gap-extension bits),
+    with the per-lane traceback byte obtained by a band-masked VMEM read
+    instead of an HBM gather.  Diag emissions of row i land at read base
+    i-1, so pos_map rows are written directly — no scatter."""
+    best_i = bi_ref[0, 0, :]
+    best_b = bb_ref[0, 0, :]
+    g0 = g0_ref[0, 0, :]
+
+    def row(k, carry):
+        li, b, phase, alive = carry                   # alive: int32 0/1
+        i = L - k                                     # row L..1
+        slab = tb_ref[0, i - 1, :, :].astype(jnp.int32)   # (W, TB)
+
+        def micro(state):
+            li, b, phase, alive, emit = state
+            in_row = (alive != 0) & (li == i)
+            inb = in_row & (b >= 0) & (b < W)
+            byte = _masked_read(slab, jnp.clip(b, 0, W - 1), W)
+            byte = jnp.where(inb, byte, 0)
+            choice = byte & 3
+            e_ext = (byte >> 2) & 1
+            f_ext = (byte >> 3) & 1
+            in_h = inb & (phase == 0)
+            in_e = inb & (phase == 1)
+            in_f = inb & (phase == 2)
+            stop = in_h & (choice == 0)
+            diag = in_h & (choice == 1)
+            to_e = in_h & (choice == 2)
+            to_f = in_h & (choice == 3)
+            gpos = g0 + (i - 1) + b - pad
+            emit = jnp.where(diag, gpos, emit)
+            li = jnp.where(diag | in_e, li - 1, li)
+            b = jnp.where(in_e, b + 1, jnp.where(in_f, b - 1, b))
+            nphase = jnp.where(
+                to_e | (in_e & (e_ext == 1)), 1,
+                jnp.where(to_f | (in_f & (f_ext == 1)), 2, 0))
+            phase = jnp.where(in_row, nphase, phase)
+            dead = stop | (in_row & ~inb)
+            alive = jnp.where(dead, 0, alive)
+            return li, b, phase, alive, emit
+
+        def cond(state):
+            li, _, _, alive, _ = state
+            return jnp.any((alive != 0) & (li == i))
+
+        emit0 = jnp.full(li.shape, -1, jnp.int32)
+        li, b, phase, alive, emit = jax.lax.while_loop(
+            cond, micro, (li, b, phase, alive, emit0))
+        pm_ref[0, i - 1, :] = emit
+        return li, b, phase, alive
+
+    z = jnp.zeros(best_i.shape, jnp.int32)
+    jax.lax.fori_loop(
+        0, L, row,
+        (best_i, best_b, z, (best_i > 0).astype(jnp.int32)))
+
+
+@functools.partial(jax.jit, static_argnames=("pad", "interpret"))
+def banded_sw_posmap_pallas(reads, rlens, windows, g0, pad: int,
+                            interpret: bool = False):
+    """Fused DP + traceback on TPU: returns (score [B], pos_map [B, L]).
+
+    Same results as banded_sw + sw_traceback (tested bit-equal), but the
+    traceback bits never leave the tiled (nb, L8, W, TB) layout and the
+    position map is produced without the [L, B, W] transpose or the
+    XLA gather-per-step walk."""
+    B, L = reads.shape
+    W = 2 * pad
+    assert windows.shape[1] == L + W
+    assert B % TB == 0, f"batch {B} not a multiple of {TB}"
+    nb = B // TB
+    L8 = ((L + SLAB - 1) // SLAB) * SLAB
+
+    if L8 != L:
+        reads = jnp.pad(reads, ((0, 0), (0, L8 - L)), constant_values=4)
+        windows = jnp.pad(windows, ((0, 0), (0, L8 - L)),
+                          constant_values=4)
+
+    reads_t = reads.T.reshape(L8, nb, TB).swapaxes(0, 1)       # (nb,L8,TB)
+    win_t = windows.T.reshape(L8 + W, nb, TB).swapaxes(0, 1)
+    lens_t = rlens.reshape(nb, 1, TB)
+
+    kernel = functools.partial(_kernel, L=L8, W=W)
+    tb, score, bi, bb = pl.pallas_call(
+        kernel,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((1, L8, TB), lambda t: (t, 0, 0)),
+            pl.BlockSpec((1, L8 + W, TB), lambda t: (t, 0, 0)),
+            pl.BlockSpec((1, 1, TB), lambda t: (t, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, L8, W, TB), lambda t: (t, 0, 0, 0)),
+            pl.BlockSpec((1, 1, TB), lambda t: (t, 0, 0)),
+            pl.BlockSpec((1, 1, TB), lambda t: (t, 0, 0)),
+            pl.BlockSpec((1, 1, TB), lambda t: (t, 0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((nb, L8, W, TB), jnp.uint8),
+            jax.ShapeDtypeStruct((nb, 1, TB), jnp.int32),
+            jax.ShapeDtypeStruct((nb, 1, TB), jnp.int32),
+            jax.ShapeDtypeStruct((nb, 1, TB), jnp.int32),
+        ],
+        interpret=interpret,
+    )(reads_t, win_t, lens_t)
+
+    g0_t = g0.astype(jnp.int32).reshape(nb, 1, TB)
+    tbk = functools.partial(_tb_kernel, L=L8, W=W, pad=pad)
+    pm = pl.pallas_call(
+        tbk,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((1, L8, W, TB), lambda t: (t, 0, 0, 0)),
+            pl.BlockSpec((1, 1, TB), lambda t: (t, 0, 0)),
+            pl.BlockSpec((1, 1, TB), lambda t: (t, 0, 0)),
+            pl.BlockSpec((1, 1, TB), lambda t: (t, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, L8, TB), lambda t: (t, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((nb, L8, TB), jnp.int32),
+        interpret=interpret,
+    )(tb, bi, bb, g0_t)
+    # (nb, L8, TB) -> [B, L]
+    pm_out = jnp.transpose(pm, (1, 0, 2)).reshape(L8, B).T[:, :L]
+    return score.reshape(B), pm_out

@@ -162,3 +162,52 @@ def test_no_alignment_scores_zero():
     res = banded_sw(jnp.asarray(read), jnp.asarray([30], jnp.int32),
                     jnp.asarray(win), pad=8)
     assert int(res.score[0]) == 0
+
+
+def test_posmap_pallas_interpret_equals_xla():
+    """Fused Pallas DP + row-sweep traceback (interpret mode on CPU) must
+    be bit-equal to banded_sw + sw_traceback."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from aligngraph_tpu.ops.banded_sw import banded_sw, sw_traceback
+    from aligngraph_tpu.ops.banded_sw_pallas import banded_sw_posmap_pallas
+
+    rng = np.random.default_rng(21)
+    B, L, pad = 128, 60, 8
+    genome = rng.integers(0, 4, 5000).astype(np.int8)
+    reads = np.full((B, L), 4, np.int8)
+    rlens = np.zeros(B, np.int32)
+    g0 = np.zeros(B, np.int32)
+    for i in range(B):
+        ln = int(rng.integers(30, L + 1))
+        st = int(rng.integers(0, len(genome) - ln - 2 * pad))
+        seq = genome[st:st + ln].copy()
+        # mutations + indels
+        mi = rng.random(ln) < 0.05
+        seq[mi] = (seq[mi] + rng.integers(1, 4, mi.sum())) % 4
+        if rng.random() < 0.3 and ln > 10:
+            cut = int(rng.integers(5, ln - 5))
+            seq = np.concatenate([seq[:cut], seq[cut + 2:]])
+            ln = len(seq)
+        reads[i, :ln] = seq
+        rlens[i] = ln
+        g0[i] = st
+    wl = L + 2 * pad
+    x = g0[:, None] - pad + np.arange(wl)[None, :]
+    windows = np.where((x >= 0) & (x < len(genome)),
+                       genome[np.clip(x, 0, len(genome) - 1)],
+                       np.int8(4)).astype(np.int8)
+    # a few zero-length (invalid) lanes
+    rlens[::17] = 0
+
+    res = banded_sw(jnp.asarray(reads), jnp.asarray(rlens),
+                    jnp.asarray(windows), pad=pad)
+    pm_ref = sw_traceback(res.tb, res.best_i, res.best_b,
+                          jnp.asarray(g0), pad=pad)
+    score_p, pm_p = banded_sw_posmap_pallas(
+        jnp.asarray(reads), jnp.asarray(rlens), jnp.asarray(windows),
+        jnp.asarray(g0), pad=pad, interpret=True)
+    np.testing.assert_array_equal(np.asarray(res.score),
+                                  np.asarray(score_p))
+    np.testing.assert_array_equal(np.asarray(pm_ref), np.asarray(pm_p))

@@ -87,7 +87,9 @@ def _extract_segments(pm: jax.Array):
     (src_start, tgt_start, size; -1-filled) + overflow flag [B].
 
     The device->host tunnel is bandwidth-bound; segments are ~8x smaller
-    than position maps and reconstruct them exactly."""
+    than position maps and reconstruct them exactly.  Implemented as
+    masked reductions per segment slot (TPU scatters serialize; dense
+    masked reduces over [B, L] vectorize)."""
     B, L = pm.shape
     aligned = pm >= 0
     prev_a = jnp.concatenate([jnp.zeros((B, 1), bool), aligned[:, :-1]],
@@ -97,17 +99,17 @@ def _extract_segments(pm: jax.Array):
     is_start = aligned & (~prev_a | (pm != prev_p + 1))
     run_id = jnp.cumsum(is_start.astype(jnp.int32), axis=1) - 1
     n_runs = run_id[:, -1] + 1
-    rows = jnp.broadcast_to(jnp.arange(B)[:, None], (B, L))
-    rid = jnp.where(aligned, run_id, MAXSEG)
-    segs = jnp.full((B, MAXSEG, 3), -1, jnp.int32)
-    idx = jnp.broadcast_to(jnp.arange(L, dtype=jnp.int32)[None, :], (B, L))
-    sel = jnp.where(is_start, rid, MAXSEG)
-    segs = segs.at[rows, sel, 0].set(idx, mode="drop")
-    segs = segs.at[rows, sel, 1].set(pm, mode="drop")
-    sizes = jnp.zeros((B, MAXSEG), jnp.int32)
-    sizes = sizes.at[rows, rid].add(aligned.astype(jnp.int32),
-                                    mode="drop")
-    segs = segs.at[:, :, 2].set(jnp.where(sizes > 0, sizes, -1))
+    idx = jnp.arange(L, dtype=jnp.int32)[None, :]
+    cols = []
+    for s in range(MAXSEG):
+        in_run = aligned & (run_id == s)
+        start_s = is_start & (run_id == s)
+        src = jnp.max(jnp.where(start_s, idx, -1), axis=1)
+        tgt = jnp.max(jnp.where(start_s, pm, -1), axis=1)
+        size = jnp.sum(in_run, axis=1).astype(jnp.int32)
+        cols.append(jnp.stack(
+            [src, tgt, jnp.where(size > 0, size, -1)], axis=-1))
+    segs = jnp.stack(cols, axis=1)                    # [B, MAXSEG, 3]
     overflow = n_runs > MAXSEG
     return segs, overflow
 
@@ -434,12 +436,12 @@ def _align_pairs_device(genome, sorted_kmers, sorted_pos, bucket_lo, seqs,
     out["tgt_start"] = pick(st["tgt_start"])
     out["tgt_end"] = pick(st["tgt_end"])
     out["tgt_gap"] = pick(st["tgt_gap"])
-    # compact transfer format: M-block segments of the selected candidates
-    sel_pm = pos_map[both.reshape(-1)]               # [P*K*2, L]
-    segs, overflow = _extract_segments(sel_pm)
-    out["segs"] = segs.reshape(P, K, 2, MAXSEG, 3)
-    out["valid"] = out["valid"] & ~jnp.any(
-        overflow.reshape(P, K, 2), axis=-1)
+    # compact transfer format: M-block segments, extracted once over the
+    # TOP DP rows (2.5x fewer rows than the [P, K, 2] hit table), then
+    # gathered per selected hit
+    segs_top, ovf_top = _extract_segments(pos_map)   # [TOP, MAXSEG, 3]
+    out["segs"] = segs_top[both]                     # [P, K, 2, MAXSEG, 3]
+    out["valid"] = out["valid"] & ~jnp.any(ovf_top[both], axis=-1)
     return out
 
 

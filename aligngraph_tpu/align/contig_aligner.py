@@ -36,7 +36,8 @@ from aligngraph_tpu.align.types import ContigAlignments
 from aligngraph_tpu.config import Config, INIT_CONTIG_THRESHOLD
 from aligngraph_tpu.io.formalize import Contigs
 from aligngraph_tpu.ops.banded_sw import banded_sw_auto, sw_traceback
-from aligngraph_tpu.ops.seeding import SeedIndex, build_index, pack_kmers_np
+from aligngraph_tpu.ops.seeding import (
+    SeedIndex, build_index, pack_kmers_np, rc_packed_np)
 
 TILE = 512
 TILE_PAD = 64
@@ -177,23 +178,34 @@ class ContigAligner:
 
     # ------------------------------------------------------------------
     def _seed_hits(self, seq: np.ndarray):
-        """Host lookup: all seed hits of `seq` -> (qpos, tpos)."""
+        """Host lookup: forward-matching seed hits of `seq` -> (qpos, tpos).
+
+        The index is canonical (ops/seeding.py); a hit counts only when
+        query_flip XOR genome_flip == 0, i.e. `seq` as given matches the
+        genome forward (the caller probes fwd and revcomp separately)."""
         sl = self.index.seed_len
         packed, valid = pack_kmers_np(seq, sl)
         qp = np.arange(0, len(packed), self.stride)
         packed, valid = packed[qp], valid[qp]
         qp, packed = qp[valid], packed[valid]
+        rc = rc_packed_np(packed, sl)
+        qflip = rc < packed
+        pcan = np.where(qflip, rc, packed)
         sk = self.index.sorted_kmers_np
-        lo = np.searchsorted(sk, packed, side="left")
-        hi = np.searchsorted(sk, packed, side="right")
+        lo = np.searchsorted(sk, pcan, side="left")
+        hi = np.searchsorted(sk, pcan, side="right")
         cnt = hi - lo
         keep = (cnt > 0) & (cnt <= 64)   # repetitive-seed cutoff
-        qp, lo, cnt = qp[keep], lo[keep], cnt[keep]
+        qp, lo, cnt, qflip = qp[keep], lo[keep], cnt[keep], qflip[keep]
+        if not len(lo):
+            return np.zeros(0, np.int64), np.zeros(0, np.int64)
         qpos = np.repeat(qp, cnt)
-        tpos = np.concatenate(
-            [self.index.sorted_pos_np[l:l + c] for l, c in zip(lo, cnt)]
-        ) if len(lo) else np.zeros(0, np.int32)
-        return qpos.astype(np.int64), tpos.astype(np.int64)
+        qfl = np.repeat(qflip, cnt)
+        pf = np.concatenate(
+            [self.index.sorted_posflip_np[l:l + c] for l, c in zip(lo, cnt)])
+        fwd = (pf < 0) == qfl            # genome_flip XOR query_flip == 0
+        tpos = (pf & 0x7FFFFFFF).astype(np.int64)
+        return qpos[fwd].astype(np.int64), tpos[fwd]
 
     # ------------------------------------------------------------------
     def align(self, contigs: Contigs) -> ContigAlignments:

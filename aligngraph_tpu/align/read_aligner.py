@@ -33,15 +33,46 @@ from aligngraph_tpu.io.formalize import Reads
 from aligngraph_tpu.ops.banded_sw import banded_sw_posmap_auto
 from aligngraph_tpu.ops.seeding import (
     INVALID_DIAG, SeedIndex, build_index, lookup_seeds_bucketed,
-    pack_query_seeds, select_candidates,
+    pack_query_seeds, rc_packed, select_candidates,
 )
 
 SCORE_MIN_CONST = 5.0   # bowtie2 --score-min G,5,2
 SCORE_MIN_COEFF = 2.0
 MAX_PAIR_HITS = 5       # bowtie2 -k 5
 MAXSEG = 8              # M-block segments per alignment (transfer format)
+THRESHOLD = 0.6         # C13 read-pair ratio filter (AlignGraph.cpp:34)
 
 _COMP = jnp.array([3, 2, 1, 0, 4], dtype=jnp.int8)
+
+
+def pack_reads_np(seqs: np.ndarray):
+    """Host: int8 codes [R, L] -> (2-bit packed [R, ceil(L/4)] uint8,
+    N/pad bitmask [R, ceil(L/8)] uint8).  The device->host tunnel on this
+    machine is bandwidth-bound; 2.25 bits/base vs 8 shrinks the input leg
+    ~3.6x."""
+    R, L = seqs.shape
+    L4 = (L + 3) // 4
+    L8 = (L + 7) // 8
+    pad4 = np.zeros((R, 4 * L4 - L), np.int8)
+    s4 = np.concatenate([seqs, pad4], axis=1).astype(np.uint8)
+    b = s4 & 3
+    u2 = (b[:, 0::4] | (b[:, 1::4] << 2) | (b[:, 2::4] << 4)
+          | (b[:, 3::4] << 6))
+    isn = (s4 >= 4)
+    pad8 = np.ones((R, 8 * L8 - 4 * L4), bool)
+    n8 = np.concatenate([isn, pad8], axis=1)
+    nmask = np.zeros((R, L8), np.uint8)
+    for k in range(8):
+        nmask |= n8[:, k::8].astype(np.uint8) << k
+    return u2, nmask
+
+
+def _unpack_reads(u2: jax.Array, nmask: jax.Array, L: int) -> jax.Array:
+    """Device inverse of pack_reads_np -> int8 codes [R, L] (N/pad = 4)."""
+    i = jnp.arange(L, dtype=jnp.int32)
+    b = (u2[:, i // 4].astype(jnp.int32) >> (2 * (i % 4))) & 3
+    n = (nmask[:, i // 8].astype(jnp.int32) >> (i % 8)) & 1
+    return jnp.where(n == 1, 4, b).astype(jnp.int8)
 
 
 def _revcomp_padded(seqs: jax.Array, lens: jax.Array) -> jax.Array:
@@ -130,18 +161,27 @@ def reconstruct_pos_map(segs: np.ndarray, L: int) -> np.ndarray:
 
 @dataclasses.dataclass
 class ReadAligner:
-    """Holds the genome on device + seed index; aligns batches of pairs."""
+    """Holds the genome on device + seed index; aligns batches of pairs.
+
+    c13: apply the reference's read-pair ratio filter (C13,
+    AlignGraph.cpp:1261, THRESHOLD 0.6) ON DEVICE so rejected records
+    never cross the device->host tunnel.  Identical end state to the
+    host-side filter the driver applies (records failing it are dropped
+    there anyway); set False for consumers that need raw records (the
+    misassembly-removal coverage loader, AlignGraph.cpp:3940-3984).
+    """
     genome: jax.Array          # [G] int8
     index: SeedIndex
     cfg: Config
     batch_pairs: int = 4096
+    c13: bool = True
 
     @classmethod
     def build(cls, genome_codes: np.ndarray, cfg: Config,
-              batch_pairs: int = 4096) -> "ReadAligner":
+              batch_pairs: int = 4096, c13: bool = True) -> "ReadAligner":
         idx = build_index(genome_codes, cfg.seed_len)
         return cls(genome=jnp.asarray(genome_codes), index=idx, cfg=cfg,
-                   batch_pairs=batch_pairs)
+                   batch_pairs=batch_pairs, c13=c13)
 
     # ------------------------------------------------------------------
     def align(self, reads: Reads) -> PairAlignments:
@@ -171,25 +211,28 @@ class ReadAligner:
                 blk = reads.data[2 * start:2 * (start + cnt)]
                 seqs[:2 * cnt, :blk.shape[1]] = blk
                 plens[:cnt] = reads.lengths[start:start + cnt]
-            dev = _align_pairs_compact(
-                self.genome, self.index.sorted_kmers, self.index.sorted_pos,
-                self.index.bucket_lo, jnp.asarray(seqs), jnp.asarray(plens),
+            u2, nmask = pack_reads_np(seqs)
+            dev = _align_pairs_packed(
+                self.genome, self.index.sorted_kmers,
+                self.index.sorted_posflip, self.index.bucket_lo, jnp.asarray(u2), jnp.asarray(nmask),
+                jnp.asarray(plens), L=L,
                 seed_len=cfg.seed_len, stride=cfg.seed_stride,
                 pad=cfg.band_pad, C=cfg.max_candidates,
                 K=MAX_PAIR_HITS, dlow=cfg.distance_low,
                 dhigh=cfg.distance_high,
                 bsteps=self.index.search_steps,
-                sbits=self.index.suffix_bits)
-            pending.append((start, cnt, dev, np.asarray(seqs), plens))
+                sbits=self.index.suffix_bits, c13=self.c13)
+            pending.append((start, cnt, dev, seqs, plens))
         out_chunks = []
         for start, cnt, dev, seqs, plens in pending:
             res = jax.tree_util.tree_map(np.asarray, dev)
-            if int(res["n_valid"]) > res["slot_id"].shape[0]:
-                # compaction overflow (pathological multi-mapping batch):
-                # re-run through the uncompacted path
+            if (int(res["n_valid"]) > res["slot_id"].shape[0]
+                    or int(res["n_ovf"]) > res["ovf_slot"].shape[0]):
+                # compaction overflow (pathological multi-mapping or
+                # ultra-gappy batch): re-run through the uncompacted path
                 full = _align_pairs_device(
                     self.genome, self.index.sorted_kmers,
-                    self.index.sorted_pos, self.index.bucket_lo,
+                    self.index.sorted_posflip, self.index.bucket_lo,
                     jnp.asarray(seqs),
                     jnp.asarray(plens), seed_len=cfg.seed_len,
                     stride=cfg.seed_stride, pad=cfg.band_pad,
@@ -198,10 +241,12 @@ class ReadAligner:
                     bsteps=self.index.search_steps,
                     sbits=self.index.suffix_bits)
                 full = jax.tree_util.tree_map(np.asarray, full)
+                if self.c13:
+                    full["valid"] &= np.asarray(_c13_mask_np(full))
                 out_chunks.append(_expand_full(full, start, cnt, L))
             else:
                 out_chunks.append(
-                    _expand_compact(res, start, cnt, L, plens))
+                    _expand_packed(res, start, cnt, L, plens))
         cat = {k: np.concatenate([c[k] for c in out_chunks])
                for k in out_chunks[0]}
         return PairAlignments(**cat)
@@ -281,56 +326,58 @@ def _expand_compact(res, start: int, cnt: int, L: int,
     )
 
 
+def _window_slices(genome: jax.Array, start: jax.Array, WL: int,
+                   P0: int) -> jax.Array:
+    """Per-row contiguous genome windows via sliced gather.
+
+    out[i] = genome[start[i] : start[i]+WL] with out-of-range bases = 4.
+    start must satisfy start >= -P0.  One WL-wide slice gather per row
+    instead of WL elementwise gathers."""
+    gp = jnp.concatenate([
+        jnp.full((P0,), 4, jnp.int8), genome,
+        jnp.full((P0 + WL,), 4, jnp.int8)])
+    lo = jnp.clip(start + P0, 0, genome.shape[0] + P0)
+    return jax.vmap(lambda l: jax.lax.dynamic_slice(gp, (l,), (WL,)))(lo)
+
+
 @partial(jax.jit, static_argnames=("seed_len", "stride", "pad", "C", "K",
                                    "dlow", "dhigh", "bsteps", "sbits"))
-def _align_pairs_device(genome, sorted_kmers, sorted_pos, bucket_lo, seqs,
-                        plens, *, seed_len, stride, pad, C, K, dlow, dhigh,
-                        bsteps, sbits):
+def _align_pairs_device(genome, sorted_kmers, sorted_posflip, bucket_lo,
+                        seqs, plens, *, seed_len, stride, pad, C, K, dlow,
+                        dhigh, bsteps, sbits):
     """One batch of P pairs -> top-K pair alignments per pair."""
-    G = genome.shape[0]
     R, L = seqs.shape            # R = 2P (mate-interleaved)
     P = R // 2
     W = 2 * pad
     WL = L + W
     rlens = jnp.repeat(plens, 2)                     # [R]
     rc = _revcomp_padded(seqs, rlens)
-    qseqs = jnp.concatenate([seqs, rc])              # [2R, L]
+    qseqs = jnp.concatenate([seqs, rc])              # [2R, L] for DP gather
     qlens = jnp.concatenate([rlens, rlens])
 
-    # --- seeding (both orientations) ---
-    packed, offs, valid = pack_query_seeds(qseqs, seed_len, stride)
-    valid = valid & (offs[None, :] <= (qlens[:, None] - seed_len))
-    hits = lookup_seeds_bucketed(sorted_kmers, sorted_pos, bucket_lo,
-                                 packed, valid, 8, bsteps, sbits)
-    diags2, votes2 = select_candidates(hits, offs, pad, C)   # [2R, C]
-
-    # --- joint-orientation top-C per read (most candidate slots of the
-    # wrong orientation are empty; selecting over both halves the DP
-    # batch) ---
-    diag_j = jnp.concatenate([diags2[:R], diags2[R:]], axis=1)   # [R, 2C]
-    votes_j = jnp.concatenate([votes2[:R], votes2[R:]], axis=1)
-    orient_j = jnp.broadcast_to(
-        (jnp.arange(2 * C, dtype=jnp.int32) // C)[None, :], (R, 2 * C))
-    o1 = jnp.argsort(jnp.where(votes_j > 0, diag_j, INVALID_DIAG),
-                     axis=1, stable=True)
-    o2 = jnp.argsort(jnp.take_along_axis(-votes_j, o1, axis=1), axis=1,
-                     stable=True)
-    sel = jnp.take_along_axis(o1, o2, axis=1)[:, :C]             # [R, C]
-    diag_s = jnp.take_along_axis(diag_j, sel, axis=1)
-    votes_s = jnp.take_along_axis(votes_j, sel, axis=1)
-    orient_s = jnp.take_along_axis(orient_j, sel, axis=1)
-    diag_s = jnp.where(votes_s > 0, diag_s, INVALID_DIAG)
+    # --- seeding: ONE canonical lookup per read serves both orientations
+    packed, offs, valid = pack_query_seeds(seqs, seed_len, stride)
+    valid = valid & (offs[None, :] <= (rlens[:, None] - seed_len))
+    pk_rc = rc_packed(packed, seed_len)
+    qflip = pk_rc < packed
+    pcan = jnp.minimum(packed, pk_rc)
+    pf, ok = lookup_seeds_bucketed(sorted_kmers, sorted_posflip, bucket_lo,
+                                   pcan, valid, 8, bsteps, sbits)
+    diag_s, votes_s, orient_s = select_candidates(
+        pf, ok, qflip, offs, rlens, seed_len, pad, C)    # [R, C] each
 
     # --- validity compaction: most candidate slots are empty (avg ~1.2
     # real candidates/read); sort valid-first and run DP/traceback/stats
-    # on the top quarter only (avg capacity 2 candidates/read).  The
-    # flatten is RANK-major (all rank-0 candidates of every read first),
-    # so when a repeat-heavy batch overflows capacity, only the lowest-
-    # vote-rank candidates are shed (deterministic; PARITY.md).
+    # on TOP = 1.5 slots/read only.  The flatten is RANK-major (all
+    # rank-0 candidates of every read first), so when a repeat-heavy
+    # batch overflows capacity, only the lowest-vote-rank candidates are
+    # shed (deterministic; PARITY.md).
     diag_f = diag_s.T.reshape(-1)                    # [C*R] rank-major
     cvalid_f = diag_f != INVALID_DIAG
     B_full = R * C
-    TOP = B_full // 4
+    # DP capacity ~1.5 rows/read, 128-aligned (Pallas lane tiles), clamped
+    # to the full table for tiny batches
+    TOP = min(B_full, max(128, (3 * R // 2) // 128 * 128))
     order = jnp.argsort(~cvalid_f, stable=True)      # valid rows first
     top = order[:TOP]
     inv = jnp.full(B_full, -1, jnp.int32).at[top].set(
@@ -340,10 +387,7 @@ def _align_pairs_device(genome, sorted_kmers, sorted_pos, bucket_lo, seqs,
     diag_safe = jnp.where(cvalid, diag_f[top], 0)
     rr = top % R                                     # read row of each slot
     qidx = orient_s.T.reshape(-1)[top] * R + rr      # row in qseqs
-    x = (diag_safe[:, None] - pad
-         + jnp.arange(WL, dtype=jnp.int32)[None, :])
-    windows = jnp.where((x >= 0) & (x < G),
-                        genome[jnp.clip(x, 0, G - 1)], jnp.int8(4))
+    windows = _window_slices(genome, diag_safe - pad, WL, L + W)
     creads = qseqs[qidx]
     clens = qlens[qidx]
     sw_score, pos_map = banded_sw_posmap_auto(
@@ -445,9 +489,189 @@ def _align_pairs_device(genome, sorted_kmers, sorted_pos, bucket_lo, seqs,
     return out
 
 
+def _c13_mask_np(out: dict) -> np.ndarray:
+    """Host C13 mask over the full [P, K] layout (integer-exact 3/5)."""
+    ss, se, sg = out["src_start"], out["src_end"], out["src_gap"]
+    sz = out["src_size"]
+    ts, te, tg = out["tgt_start"], out["tgt_end"], out["tgt_gap"]
+    ok = ((se - ss - sg) * 5 >= 3 * sz) & ((te - ts - tg) * 5
+                                           >= 3 * (te - ts))
+    return ok.all(axis=-1)
+
+
+@partial(jax.jit, static_argnames=("L", "seed_len", "stride", "pad", "C",
+                                   "K", "dlow", "dhigh", "bsteps", "sbits",
+                                   "c13"))
+def _align_pairs_packed(genome, sorted_kmers, sorted_posflip, bucket_lo, u2,
+                        nmask, plens, *, L, seed_len, stride, pad, C, K,
+                        dlow, dhigh, bsteps, sbits, c13):
+    """Tunnel-optimized batch: 2-bit packed reads in, first-segment +
+    overflow-buffer records out, C13 ratio filter applied on device.
+
+    Transfer budget vs _align_pairs_compact: input 8 -> 2.25 bits/base;
+    output 114 -> ~30 bytes/slot (most short-read alignments are a single
+    M-block — indels split blocks, mismatches do not — so only segments
+    beyond the first go through the sparse overflow buffer)."""
+    seqs = _unpack_reads(u2, nmask, L)
+    out = _align_pairs_device.__wrapped__(
+        genome, sorted_kmers, sorted_posflip, bucket_lo, seqs, plens,
+        seed_len=seed_len, stride=stride, pad=pad, C=C, K=K, dlow=dlow,
+        dhigh=dhigh, bsteps=bsteps, sbits=sbits)
+    if c13:
+        # C13 (AlignGraph.cpp:1261): both mates (se-ss-I)/size >= 0.6 and
+        # (te-ts-D)/(te-ts) >= 0.6; 0.6 == 3/5 so the compare is exact in
+        # integers (no float-boundary hazard)
+        ss, se, sg = out["src_start"], out["src_end"], out["src_gap"]
+        sz = out["src_size"]
+        ts, te, tg = out["tgt_start"], out["tgt_end"], out["tgt_gap"]
+        ok = ((se - ss - sg) * 5 >= 3 * sz) & ((te - ts - tg) * 5
+                                               >= 3 * (te - ts))
+        out["valid"] = out["valid"] & jnp.all(ok, axis=-1)
+
+    P = out["valid"].shape[0]
+    M = (3 * P) // 2
+    S = MAXSEG
+    valid_f = out["valid"].reshape(P * K)
+    order = jnp.argsort(~valid_f, stable=True)   # valid slots first, in
+    slots = order[:M].astype(jnp.int32)          # (pair, k) order
+    svalid = valid_f[slots]
+    p_ids = slots // K
+    k_ids = slots % K
+
+    def g(a):
+        return a[p_ids, k_ids]
+
+    segs = g(out["segs"])                        # [M, 2, S, 3] int32
+    tgt_base = g(out["tgt_start"])               # [M, 2]
+    frp = (g(out["fr"])[:, 0] | (g(out["fr"])[:, 1] << 1)).astype(jnp.uint8)
+    seg1 = jnp.stack([segs[:, :, 0, 0], segs[:, :, 0, 2]],
+                     axis=-1).astype(jnp.int16)  # [M, 2, 2] (ss, sz)
+    seg1 = jnp.where(svalid[:, None, None], seg1, -1)
+
+    # sparse overflow buffer for segments beyond the first
+    E = max(P // 2, 128)
+    extra = (segs[:, :, 1:, 2] > 0) & svalid[:, None, None]   # [M,2,S-1]
+    ef = extra.reshape(M * 2 * (S - 1))
+    eorder = jnp.argsort(~ef, stable=True)[:E]
+    evalid = ef[eorder]
+    e_slot = (eorder // (2 * (S - 1))).astype(jnp.int32)
+    rem = eorder % (2 * (S - 1))
+    e_mate = (rem // (S - 1)).astype(jnp.int32)
+    e_seg = (rem % (S - 1)).astype(jnp.int32) + 1
+    esel = (e_slot, e_mate, e_seg)
+    e_src = segs[..., 0][esel].astype(jnp.int16)
+    e_dt = (segs[..., 1][esel]
+            - tgt_base[e_slot, e_mate]).astype(jnp.int16)
+    e_sz = segs[..., 2][esel].astype(jnp.int16)
+
+    return dict(
+        n_valid=jnp.sum(valid_f.astype(jnp.int32)),
+        n_ovf=jnp.sum(extra.astype(jnp.int32)),
+        slot_id=jnp.where(svalid, slots, -1),
+        frp=jnp.where(svalid, frp, jnp.uint8(255)),
+        score=g(out["score"]).astype(jnp.int16),
+        tgt_base=tgt_base,
+        seg1=seg1,
+        ovf_slot=jnp.where(evalid, e_slot, -1),
+        ovf_ms=jnp.where(evalid, e_mate * 8 + e_seg, -1).astype(jnp.int8),
+        ovf_src=jnp.where(evalid, e_src, -1),
+        ovf_dt=jnp.where(evalid, e_dt, -1),
+        ovf_sz=jnp.where(evalid, e_sz, -1),
+    )
+
+
+def _expand_packed(res, start: int, cnt: int, L: int,
+                   plens: np.ndarray) -> dict:
+    """Host extraction from the packed first-segment transfer format.
+
+    Recomputes the parse quantities from segment records with the exact
+    integer formulas of _candidate_stats (bit-equal to the full path,
+    tested)."""
+    K = MAX_PAIR_HITS
+    slot = res["slot_id"]
+    mask = slot >= 0
+    sel = np.nonzero(mask)[0]
+    slot = slot[sel]
+    p_ids = slot // K
+    keep = p_ids < max(cnt, 0)
+    sel = sel[keep]
+    p_ids = p_ids[keep]
+    n = len(sel)
+    # compact-row index -> output row (-1 dropped)
+    row_of = np.full(res["slot_id"].shape[0], -1, np.int64)
+    row_of[sel] = np.arange(n)
+
+    frp = res["frp"][sel].astype(np.int8)
+    fr = np.stack([frp & 1, (frp >> 1) & 1], axis=-1).astype(np.int8)
+    score = res["score"][sel].astype(np.int32)
+    tgt_base = res["tgt_base"][sel].astype(np.int32)     # [n, 2]
+    seg1 = res["seg1"][sel].astype(np.int32)             # [n, 2, 2]
+
+    # full segment table [n, 2, MAXSEG, 3] from seg1 + overflow entries
+    segs = np.full((n, 2, MAXSEG, 3), -1, np.int32)
+    segs[:, :, 0, 0] = seg1[..., 0]
+    segs[:, :, 0, 1] = np.where(seg1[..., 1] > 0, tgt_base, -1)
+    segs[:, :, 0, 2] = seg1[..., 1]
+    om = res["ovf_slot"] >= 0
+    if om.any():
+        orow = row_of[res["ovf_slot"][om]]
+        okeep = orow >= 0
+        orow = orow[okeep]
+        oms = res["ovf_ms"][om][okeep].astype(np.int64)
+        omate, oseg = oms // 8, oms % 8
+        osrc = res["ovf_src"][om][okeep].astype(np.int32)
+        odt = res["ovf_dt"][om][okeep].astype(np.int32)
+        osz = res["ovf_sz"][om][okeep].astype(np.int32)
+        segs[orow, omate, oseg, 0] = osrc
+        segs[orow, omate, oseg, 1] = tgt_base[orow, omate] + odt
+        segs[orow, omate, oseg, 2] = osz
+
+    # fast pos_map reconstruction: one vectorized pass for the (dominant)
+    # first segment, sparse per-entry fills for overflow segments
+    pm = np.full((n, 2, L), -1, np.int32)
+    i_idx = np.arange(L, dtype=np.int32)
+    ss0 = seg1[..., 0:1]
+    sz0 = seg1[..., 1:2]
+    m0 = (sz0 > 0) & (i_idx >= ss0) & (i_idx < ss0 + sz0)
+    np.copyto(pm, tgt_base[..., None] + (i_idx - ss0), where=m0)
+    if om.any():
+        for r_, m_, s_ in zip(orow, omate, range(len(orow))):
+            src, tgt, szv = (int(osrc[s_]), int(tgt_base[r_, m_])
+                             + int(odt[s_]), int(osz[s_]))
+            pm[r_, m_, src:src + szv] = tgt + np.arange(szv, dtype=np.int32)
+
+    sz = np.where(segs[..., 2] > 0, segs[..., 2], 0)
+    segv = sz > 0
+    match = sz.sum(axis=-1)                              # [n, 2]
+    nseg = np.maximum(segv.sum(axis=-1), 1)
+    last = (nseg - 1)[..., None]
+    ss = segs[..., 0, 0]
+    src_last = np.take_along_axis(segs[..., 0], last, axis=-1)[..., 0]
+    sz_last = np.take_along_axis(sz, last, axis=-1)[..., 0]
+    se = src_last + sz_last
+    ins = (se - ss) - match
+    tea = np.take_along_axis(segs[..., 1], last, axis=-1)[..., 0] + sz_last
+    dele = (tea - tgt_base) - match
+    qlen = plens[p_ids][:, None].astype(np.int32)
+    te_ref = tgt_base + qlen + dele - ins
+    return dict(
+        pair_id=(p_ids + start).astype(np.int32),
+        fr=fr,
+        score=score,
+        source_start=ss.astype(np.int32),
+        source_end=se.astype(np.int32),
+        source_gap=ins.astype(np.int32),
+        source_size=np.broadcast_to(qlen, ins.shape).copy(),
+        target_start=tgt_base,
+        target_end=te_ref.astype(np.int32),
+        target_gap=dele.astype(np.int32),
+        pos_map=pm,
+    )
+
+
 @partial(jax.jit, static_argnames=("seed_len", "stride", "pad", "C", "K",
                                    "dlow", "dhigh", "bsteps", "sbits"))
-def _align_pairs_compact(genome, sorted_kmers, sorted_pos, bucket_lo, seqs,
+def _align_pairs_compact(genome, sorted_kmers, sorted_posflip, bucket_lo, seqs,
                          plens, *, seed_len, stride, pad, C, K, dlow, dhigh,
                          bsteps, sbits):
     """_align_pairs_device + valid-slot compaction of the transfer.
@@ -458,7 +682,7 @@ def _align_pairs_compact(genome, sorted_kmers, sorted_pos, bucket_lo, seqs,
     size).  Capacity is 3P/2 slots; `n_valid` lets the host detect
     overflow and fall back to the full layout."""
     out = _align_pairs_device.__wrapped__(
-        genome, sorted_kmers, sorted_pos, bucket_lo, seqs, plens,
+        genome, sorted_kmers, sorted_posflip, bucket_lo, seqs, plens,
         seed_len=seed_len, stride=stride, pad=pad, C=C, K=K, dlow=dlow,
         dhigh=dhigh, bsteps=bsteps, sbits=sbits)
     P = out["valid"].shape[0]

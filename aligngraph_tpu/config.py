@@ -70,10 +70,10 @@ class Config:
     unique_extension: bool = False   # hidden flag, AlignGraph.cpp:4598
 
     # Engine knobs that have no reference analog (ours; all deterministic)
-    seed_len: int = 15               # exact-match seed length (<=15: int32)
-    seed_stride: int = 8             # seed sampling stride along the read
+    seed_len: int = 15               # exact-match seed length (odd, <=15)
+    seed_stride: int = 12            # seed sampling stride along the read
     band_pad: int = 16               # banded-DP half-band beyond seed diagonal
-    max_candidates: int = 8          # candidate diagonals per read before DP
+    max_candidates: int = 4          # candidate diagonals per read before DP
     work_dir: str = "tmp"            # checkpoint/artifact dir (ref: tmp/)
 
     # ---- flag <-> field maps (reference CLI spelling) -------------------

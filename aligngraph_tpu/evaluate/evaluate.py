@@ -217,12 +217,10 @@ def evaluate(genome_path, contigs_path, out_path: Optional[str] = None,
     covered = int(sum(b.sum() for b in bitmap))
     contig_bases = sum(len(c) for c in init)
     metrics.update(
-        n_true_contigs=sum(
-            1 for i, plist in enumerate(positions)
-            for p in plist[:1]
-            if any(pp.target_id != NONE and
-                   (pp.source_end - pp.source_start) / len(init[i]) >= 0.8
-                   for pp in plist)),
+        # reference prints trueContigLengths.size() — the number of TALLIED
+        # placements (one per true contig, plus every non-null placement of
+        # a misassembled contig), Eval-AlignGraph.cpp:371
+        n_true_contigs=len(true_lengths),
         n50=n50,
         covered_length=covered,
         average_length=total_length // max(len(true_lengths), 1),

@@ -1,20 +1,29 @@
 """Seed index + candidate-diagonal selection (bowtie2/BLAT seeding replaced).
 
 The reference shells out to bowtie2 (FM-index) / BLAT for seeding+alignment
-(AlignGraph.cpp:3581-3656).  Our TPU-native equivalent is a sorted k-mer
-position index over the concatenated genome axis:
+(AlignGraph.cpp:3581-3656).  Our TPU-native equivalent is a sorted
+CANONICAL k-mer position index over the concatenated genome axis:
 
  - build (host, numpy): pack every `seed_len`-mer (2-bit codes) into int32,
-   drop windows containing N, sort by packed value -> (sorted_kmers,
-   sorted_pos).  One-time cost per reference genome.
- - lookup (device, XLA): `searchsorted` of query seed packs into the sorted
-   array, gather up to `max_hits` positions per seed.
- - candidate selection (device): per read, cluster hit diagonals
-   (genome_pos - read_offset) within `band_pad` and emit the top
+   drop windows containing N, canonicalize (min of the packed k-mer and
+   its reverse complement; odd seed_len so no palindromes), sort by
+   canonical value -> (sorted_kmers, sorted_posflip).  Each position entry
+   packs the genome offset (bits 0-30) and a flip bit (bit 31: the genome
+   k-mer was NOT the canonical form).  One-time cost per reference genome.
+ - lookup (device, XLA): canonicalize query seeds, bucketed binary search,
+   gather up to `max_hits` (position, flip) entries per seed.  ONE lookup
+   per read serves BOTH orientations: hit orientation = query_flip XOR
+   genome_flip (the bowtie2 strand bit, SAM 0x10).
+ - candidate selection (device): per read, cluster hit diagonals within
+   `band_pad` — reverse-orientation diagonals are offset by RC_OFFSET so
+   the two strands can never co-cluster — and emit the top
    `max_candidates` clusters by vote count (deterministic tie-break on
-   diagonal).
+   diagonal), jointly over both orientations.
 
-seed_len must be <= 15 so a packed seed fits in a non-negative int32.
+seed_len must be odd and <= 15 so a packed seed fits in a non-negative
+int32; genome length must be < RC_OFFSET (2^29) — larger genomes must be
+sharded (--part / per-chromosome iterativeMap), exactly like the
+reference's own memory sharding.
 """
 
 from __future__ import annotations
@@ -27,15 +36,20 @@ import jax.numpy as jnp
 import numpy as np
 
 INVALID_DIAG = np.int32(2**31 - 1)
+RC_OFFSET = np.int32(1 << 29)     # added to reverse-orientation diagonals
+POS_MASK = np.int32(0x7FFFFFFF)
 
 
 @dataclasses.dataclass
 class SeedIndex:
-    """Sorted k-mer position index + prefix bucket table.
+    """Sorted canonical k-mer position index + prefix bucket table.
 
     Host (numpy) arrays are authoritative; device copies are created
     lazily (reads use device lookup in the hot path, contigs use host
     np.searchsorted for one-off long queries).
+
+    sorted_posflip[i] = genome position | (flip << 31) as int32 (negative
+    iff the genome k-mer was reverse-complemented into canonical form).
 
     bucket_lo[p] is the first index in sorted_kmers whose top
     (2*seed_len - suffix_bits) packed bits are >= p; a device lookup is
@@ -45,11 +59,11 @@ class SeedIndex:
     (~4 table slots per k-mer, capped at 24 bits / 64MB)."""
     seed_len: int
     genome_len: int
-    sorted_kmers_np: np.ndarray   # [M] int32, ascending
-    sorted_pos_np: np.ndarray     # [M] int32 genome position of each k-mer
-    bucket_lo_np: np.ndarray      # [2^prefix_bits + 1] int32
-    search_steps: int             # binary-search iterations within bucket
-    suffix_bits: int              # low packed bits not covered by table
+    sorted_kmers_np: np.ndarray    # [M] int32 canonical, ascending
+    sorted_posflip_np: np.ndarray  # [M] int32 pos | flip<<31
+    bucket_lo_np: np.ndarray       # [2^prefix_bits + 1] int32
+    search_steps: int              # binary-search iterations within bucket
+    suffix_bits: int               # low packed bits not covered by table
     _device: tuple = None
 
     @property
@@ -59,7 +73,7 @@ class SeedIndex:
     def device_arrays(self):
         if self._device is None:
             self._device = (jnp.asarray(self.sorted_kmers_np),
-                            jnp.asarray(self.sorted_pos_np),
+                            jnp.asarray(self.sorted_posflip_np),
                             jnp.asarray(self.bucket_lo_np))
         return self._device
 
@@ -68,7 +82,7 @@ class SeedIndex:
         return self.device_arrays()[0]
 
     @property
-    def sorted_pos(self):
+    def sorted_posflip(self):
         return self.device_arrays()[1]
 
     @property
@@ -96,13 +110,45 @@ def pack_kmers_np(codes: np.ndarray, seed_len: int):
     return packed.astype(np.int32), ~invalid
 
 
+def rc_packed_np(packed: np.ndarray, seed_len: int) -> np.ndarray:
+    """Reverse complement of 2-bit packed k-mers (complement = base^3)."""
+    p = packed.astype(np.int64)
+    out = np.zeros_like(p)
+    for i in range(seed_len):
+        out = (out << 2) | (((p >> (2 * i)) & 3) ^ 3)
+    return out.astype(np.int32)
+
+
+def rc_packed(packed: jax.Array, seed_len: int) -> jax.Array:
+    """Device rc_packed_np."""
+    p = packed.astype(jnp.int32)
+    out = jnp.zeros_like(p)
+    for i in range(seed_len):
+        out = (out << 2) | (((p >> (2 * i)) & 3) ^ 3)
+    return out
+
+
 def build_index(genome_codes: np.ndarray, seed_len: int = 15) -> SeedIndex:
-    """Host-side one-time index build over the concatenated genome."""
+    """Host-side one-time canonical index build over the concatenated
+    genome."""
     if seed_len > 15:
         raise ValueError("seed_len must be <= 15 (int32 packing)")
+    if seed_len % 2 == 0:
+        raise ValueError("seed_len must be odd (canonical k-mers need "
+                         "palindrome-free packing)")
+    if len(genome_codes) >= int(RC_OFFSET) - (1 << 20):
+        raise ValueError(
+            f"genome part too large for the int32 seed index "
+            f"({len(genome_codes)} >= 2^29): shard it with --part / "
+            f"--iterativeMap (per-chromosome parts, like the reference's "
+            f"memory sharding, AlignGraph.cpp:3347-3418)")
     packed, valid = pack_kmers_np(genome_codes, seed_len)
     pos = np.nonzero(valid)[0].astype(np.int32)
-    kmers = packed[pos]
+    fwd = packed[pos]
+    rc = rc_packed_np(fwd, seed_len)
+    flip = rc < fwd
+    kmers = np.where(flip, rc, fwd)
+    posflip = np.where(flip, pos | np.int32(-2**31), pos).astype(np.int32)
     order = np.argsort(kmers, kind="stable")
     sorted_kmers = kmers[order]
     prefix_bits = min(24, 2 * seed_len,
@@ -117,7 +163,7 @@ def build_index(genome_codes: np.ndarray, seed_len: int = 15) -> SeedIndex:
         seed_len=seed_len,
         genome_len=int(len(genome_codes)),
         sorted_kmers_np=sorted_kmers,
-        sorted_pos_np=pos[order],
+        sorted_posflip_np=posflip[order],
         bucket_lo_np=bucket_lo,
         search_steps=max(1, int(np.ceil(np.log2(max_bucket + 1))) + 1),
         suffix_bits=suffix_bits,
@@ -143,33 +189,46 @@ def pack_query_seeds(seqs: jax.Array, seed_len: int, stride: int):
     return packed, offsets, ~invalid
 
 
+def _slice_gather(arr: jax.Array, lo: jax.Array, width: int) -> jax.Array:
+    """Gather contiguous runs: out[..., j] = arr_padded[lo[...] + j].
+
+    One sliced gather per run instead of width elementwise gathers (the
+    dominant cost of the previous per-element formulation)."""
+    pad = jnp.zeros((width,), arr.dtype)
+    arrp = jnp.concatenate([arr, pad])
+    shp = lo.shape
+    lo_f = jnp.clip(lo.reshape(-1), 0, arr.shape[0])
+    out = jax.vmap(
+        lambda l: jax.lax.dynamic_slice(arrp, (l,), (width,)))(lo_f)
+    return out.reshape(shp + (width,))
+
+
 @partial(jax.jit, static_argnames=("max_hits",))
-def lookup_seeds(sorted_kmers, sorted_pos, packed, valid, max_hits: int):
-    """For each query seed return up to max_hits genome positions.
+def lookup_seeds(sorted_kmers, sorted_posflip, packed, valid,
+                 max_hits: int):
+    """Full-depth searchsorted lookup of CANONICAL query packs.
 
     Seeds with more than max_hits occurrences are *dropped entirely*
     (repetitive-seed policy, analogous to aligner multiseed filters) —
     this keeps candidate selection deterministic and bounded.
 
-    packed/valid: [R, S].  Returns hit positions [R, S, max_hits] int32
-    with -1 for misses.
+    packed/valid: [R, S] (already canonicalized).  Returns
+    (posflip [R, S, max_hits] int32, ok [R, S, max_hits] bool).
     """
-    M = sorted_kmers.shape[0]
     lo = jnp.searchsorted(sorted_kmers, packed, side="left").astype(jnp.int32)
     hi = jnp.searchsorted(sorted_kmers, packed, side="right").astype(jnp.int32)
     count = hi - lo
-    take = lo[..., None] + jnp.arange(max_hits, dtype=jnp.int32)
     ok = (
         valid[..., None]
         & (count[..., None] <= max_hits)
         & (jnp.arange(max_hits) < count[..., None])
     )
-    pos = sorted_pos[jnp.clip(take, 0, M - 1)]
-    return jnp.where(ok, pos, -1)
+    pf = _slice_gather(sorted_posflip, lo, max_hits)
+    return pf, ok
 
 
 @partial(jax.jit, static_argnames=("max_hits", "steps", "suffix_bits"))
-def lookup_seeds_bucketed(sorted_kmers, sorted_pos, bucket_lo, packed,
+def lookup_seeds_bucketed(sorted_kmers, sorted_posflip, bucket_lo, packed,
                           valid, max_hits: int, steps: int,
                           suffix_bits: int):
     """Two-level lookup_seeds: identical results, far fewer gathers.
@@ -197,38 +256,50 @@ def lookup_seeds_bucketed(sorted_kmers, sorted_pos, bucket_lo, packed,
     lo = left_bound(packed)
     hi = left_bound(packed + 1)   # right bound: all keys == packed precede
     count = hi - lo
-    take = lo[..., None] + jnp.arange(max_hits, dtype=jnp.int32)
     ok = (
         valid[..., None]
         & (count[..., None] <= max_hits)
         & (jnp.arange(max_hits) < count[..., None])
     )
-    pos = sorted_pos[jnp.clip(take, 0, M - 1)]
-    return jnp.where(ok, pos, -1)
+    pf = _slice_gather(sorted_posflip, lo, max_hits)
+    return pf, ok
 
 
-@partial(jax.jit, static_argnames=("band_pad", "max_candidates"))
-def select_candidates(hit_pos, seed_offsets, band_pad: int,
-                      max_candidates: int):
-    """Cluster hit diagonals per read -> top candidate diagonals.
+@partial(jax.jit, static_argnames=("seed_len", "band_pad",
+                                   "max_candidates"))
+def select_candidates(posflip, ok, qflip, seed_offsets, qlens,
+                      seed_len: int, band_pad: int, max_candidates: int):
+    """Cluster hit diagonals per read (both orientations at once) ->
+    top candidate diagonals.
 
-    hit_pos: [R, S, H] genome positions (-1 = miss);
-    seed_offsets: [S] read offsets of each seed.
-    Returns (diags [R, C] int32 = genome position aligned to read base 0,
-    votes [R, C] int32); empty slots have diag=INVALID_DIAG, votes=0.
+    posflip/ok: [R, S, H] from lookup (canonical index);
+    qflip: [R, S] query-seed flip bits; seed_offsets: [S]; qlens: [R].
+
+    Hit orientation o = qflip ^ genome_flip.  Forward diagonal =
+    pos - offset; reverse diagonal = pos - (qlen - offset - seed_len)
+    (the seed's offset within the reverse-complemented read), offset by
+    RC_OFFSET so strands never co-cluster.
 
     Clustering: sort diagonals; a new cluster starts when the gap to the
     previous diagonal exceeds band_pad; cluster vote = size; representative
     diagonal = cluster minimum (deterministic).  Top-C by (votes desc,
     diag asc).
+
+    Returns (diags [R, C] int32 = genome position aligned to base 0 of the
+    read in ALIGNED orientation, votes [R, C], orient [R, C] int32); empty
+    slots have diag=INVALID_DIAG, votes=0.
     """
-    R, S, H = hit_pos.shape
+    R, S, H = posflip.shape
     N = S * H
-    diag = jnp.where(
-        hit_pos >= 0,
-        hit_pos - seed_offsets[None, :, None].astype(jnp.int32),
-        INVALID_DIAG,
-    ).reshape(R, N)
+    pos = posflip & POS_MASK
+    gflip = posflip < 0
+    o = gflip ^ qflip[..., None]                       # [R, S, H]
+    off_f = seed_offsets[None, :, None].astype(jnp.int32)
+    off_r = (qlens[:, None, None] - off_f
+             - jnp.int32(seed_len))
+    diag = jnp.where(o, pos - off_r + RC_OFFSET, pos - off_f)
+    diag = jnp.where(ok, diag, INVALID_DIAG).reshape(R, N)
+
     diag = jnp.sort(diag, axis=1)        # invalids sort to the end
     prev = jnp.concatenate(
         [jnp.full((R, 1), -(2**30), jnp.int32), diag[:, :-1]], axis=1)
@@ -255,5 +326,8 @@ def select_candidates(hit_pos, seed_offsets, band_pad: int,
     topk = order[:, :max_candidates]
     out_votes = jnp.take_along_axis(votes, topk, axis=1)
     out_diag = jnp.take_along_axis(rep_diag, topk, axis=1)
-    out_diag = jnp.where(out_votes > 0, out_diag, INVALID_DIAG)
-    return out_diag, out_votes
+    orient = ((out_diag != INVALID_DIAG)
+              & (out_diag >= RC_OFFSET)).astype(jnp.int32)
+    out_diag = jnp.where(out_votes > 0,
+                         out_diag - orient * RC_OFFSET, INVALID_DIAG)
+    return out_diag, out_votes, orient

@@ -65,7 +65,9 @@ def _coverage_from_reads(reads: Reads, contigs: Contigs, cfg: Config):
     cov = [np.zeros(len(s), np.int32) for s in contigs.seqs]
     if len(axis) < cfg.seed_len or reads.n_pairs == 0:
         return cov
-    aligner = ReadAligner.build(axis, cfg)
+    # raw records: the reference's coverage loader (AlignGraph.cpp:
+    # 3940-3984) has no C13 ratio filter
+    aligner = ReadAligner.build(axis, cfg, c13=False)
     ali = aligner.align(reads)
     # best alignment per pair only (bowtie2 -k 1 analog): first record
     first = np.concatenate(

@@ -152,13 +152,12 @@ def refine(cfg: Config, genome: Genome, contigs: Contigs,
             genome.ids[-1]     # reference quirk: genomeIds indexed by part
         for j in range(len(extd)):
             if ext_tags[j] > 0:
-                names = " ; ".join(contigs.ids[s] for s in ext_init_map[j])
-                header = f"AlignGraph{seq_id} @ {gid} : {names} ; " \
-                    if names else f"AlignGraph{seq_id} @ {gid} : ; "
-                # reference always appends " ; " after every id
+                # reference appends "<id> ; " after every id, INCLUDING a
+                # trailing " ; " (AlignGraph.cpp:3102-3105) — keep the
+                # trailing space for byte parity (test_golden_parity)
                 header = f"AlignGraph{seq_id} @ {gid} : " + "".join(
                     f"{contigs.ids[s]} ; " for s in ext_init_map[j])
-                ext_out_ids.append(header.rstrip())
+                ext_out_ids.append(header)
                 ext_out_seqs.append(np.asarray(extd[j], np.int8))
                 seq_id += 1
 

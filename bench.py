@@ -28,6 +28,15 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import numpy as np
 
+import jax
+
+# persistent compilation cache: first-ever compile of the align program
+# via the axon tunnel costs minutes; cached recompiles are seconds
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 BOWTIE2_8T_BASELINE = 1.0e5   # reads/s, see module docstring
 
 

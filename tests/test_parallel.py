@@ -7,8 +7,8 @@ import pytest
 
 from aligngraph_tpu.parallel.halo import (exchange_halos,
                                           sliding_window_sum_sharded)
-from aligngraph_tpu.parallel.mesh import (make_mesh,
-                                          make_sharded_alignment_step)
+from aligngraph_tpu.parallel.mesh import (
+    make_mesh, make_sharded_aligner, shard_reads_pairwise)
 from aligngraph_tpu.ops.seeding import build_index
 
 
@@ -33,42 +33,77 @@ def test_halo_window_sum_matches_unsharded(mesh):
     np.testing.assert_array_equal(out, expect)
 
 
-def test_sharded_alignment_equals_replicated(mesh):
-    """The dp-sharded alignment+vote step must produce the same merged
-    votes as a single-device run of the same shard function."""
-    from aligngraph_tpu.parallel.mesh import _align_and_vote
+def test_sharded_production_aligner_equals_single(mesh):
+    """THE production align program (_align_pairs_packed) under shard_map
+    (reads dp-sharded, index replicated) must produce record-for-record
+    the same accepted alignments as the single-device align() path."""
     from jax.sharding import NamedSharding, PartitionSpec as P
 
-    rng = np.random.default_rng(1)
-    glen = 1 << 13
-    genome = rng.integers(0, 4, glen).astype(np.int8)
-    idx = build_index(genome, 15)
-    n_reads = 64          # 8 per shard
-    L = 64
-    seqs = np.empty((n_reads, L), np.int8)
-    for i in range(n_reads):
-        p = int(rng.integers(0, glen - L))
-        seqs[i] = genome[p:p + L]
-    lens = np.full(n_reads, L, np.int32)
+    from aligngraph_tpu.align.read_aligner import (
+        ReadAligner, pack_reads_np)
+    from aligngraph_tpu.config import Config
+    from aligngraph_tpu.io.formalize import Reads
+    from tests.simdata import make_simdata
 
-    votes_len = glen
-    step = make_sharded_alignment_step(mesh, votes_len=votes_len)
-    args = (
-        jax.device_put(jnp.asarray(genome), NamedSharding(mesh, P())),
-        jax.device_put(idx.sorted_kmers, NamedSharding(mesh, P())),
-        jax.device_put(idx.sorted_pos, NamedSharding(mesh, P())),
-        jax.device_put(jnp.asarray(seqs), NamedSharding(mesh, P("dp"))),
-        jax.device_put(jnp.asarray(lens), NamedSharding(mesh, P("dp"))),
+    sim = make_simdata(seed=5, genome_len=10_000, n_pairs=64, read_len=80,
+                       insert=400, snp_rate=0.01)
+    n = 64
+    L = 80
+    data = np.empty((2 * n, L), np.int8)
+    for i in range(n):
+        data[2 * i] = sim.reads1[i]
+        data[2 * i + 1] = sim.reads2[i]
+    plens = np.full(n, L, np.int32)
+    reads = Reads(n, L, data, plens)
+    cfg = Config(distance_low=100, distance_high=700)
+
+    # single-device oracle through the production path (one batch)
+    al = ReadAligner.build(sim.reference, cfg, batch_pairs=n, c13=True)
+    want = al.align(reads)
+
+    # sharded: 8 dp shards of 8 pairs each
+    idx = al.index
+    u2, nmask = pack_reads_np(data)
+    u2, nmask, pl = shard_reads_pairwise(u2, nmask, plens, 8)
+    step = make_sharded_aligner(
+        mesh, L=L, seed_len=cfg.seed_len, stride=cfg.seed_stride,
+        pad=cfg.band_pad, C=cfg.max_candidates,
+        dlow=cfg.distance_low, dhigh=cfg.distance_high,
+        bsteps=idx.search_steps, sbits=idx.suffix_bits, c13=True)
+    rep = NamedSharding(mesh, P())
+    out = step(
+        jax.device_put(jnp.asarray(sim.reference), rep),
+        jax.device_put(idx.sorted_kmers, rep),
+        jax.device_put(idx.sorted_posflip, rep),
+        jax.device_put(idx.bucket_lo, rep),
+        jax.device_put(jnp.asarray(u2), NamedSharding(mesh, P("dp", None))),
+        jax.device_put(jnp.asarray(nmask),
+                       NamedSharding(mesh, P("dp", None))),
+        jax.device_put(jnp.asarray(pl), NamedSharding(mesh, P("dp"))),
     )
-    votes_sh, n_al = step(*args)
-    # single-device oracle: all reads at once, no collective
-    votes_1, n1 = _align_and_vote(
-        jnp.asarray(genome), idx.sorted_kmers, idx.sorted_pos,
-        jnp.asarray(seqs), jnp.asarray(lens),
-        seed_len=15, stride=8, pad=16, C=4, votes_len=votes_len)
-    assert int(n_al.reshape(-1)[0]) == int(n1[0]) == n_reads
-    np.testing.assert_array_equal(np.asarray(votes_sh),
-                                  np.asarray(votes_1))
+    out = jax.tree_util.tree_map(np.asarray, out)
+    assert int(out["n_valid_total"][0]) == want.n > 50
+
+    # decode each shard's packed records and merge (global pair ids)
+    from aligngraph_tpu.align.read_aligner import (
+        MAX_PAIR_HITS, _expand_packed)
+    n_sh = 8
+    per = len(pl) // n_sh
+    chunks = []
+    for s in range(n_sh):
+        res_s = {}
+        for k, v in out.items():
+            if k in ("n_valid", "n_ovf", "n_valid_total", "n_ovf_total"):
+                res_s[k] = v[s] if v.ndim else v
+            else:
+                res_s[k] = v.reshape((n_sh, -1) + v.shape[1:])[s]
+        chunks.append(_expand_packed(res_s, s * per, per, L,
+                                     pl[s * per:(s + 1) * per]))
+    got = {k: np.concatenate([c[k] for c in chunks]) for k in chunks[0]}
+    for field in ("pair_id", "fr", "score", "source_start", "source_end",
+                  "target_start", "target_end", "pos_map"):
+        np.testing.assert_array_equal(
+            got[field], getattr(want, field), err_msg=field)
 
 
 def test_halo_exchange_edges(mesh):

@@ -105,8 +105,9 @@ def test_no_reads():
 
 
 def test_compact_transfer_equals_full():
-    """The compact valid-slot transfer (device packing + host expansion)
-    must reproduce the full-layout extraction bit-for-bit."""
+    """The packed transfer (2-bit reads in, first-segment + overflow
+    records out, host expansion) must reproduce the full-layout extraction
+    bit-for-bit (c13 off so both paths are raw)."""
     import jax.numpy as jnp
 
     from aligngraph_tpu.align import read_aligner as ra
@@ -115,8 +116,8 @@ def test_compact_transfer_equals_full():
                        read_len=90, insert=450, snp_rate=0.01)
     reads = make_reads(sim)
     cfg = Config(distance_low=150, distance_high=750)
-    al = ReadAligner.build(sim.reference, cfg, batch_pairs=64)
-    res = al.align(reads)          # compact path (default)
+    al = ReadAligner.build(sim.reference, cfg, batch_pairs=64, c13=False)
+    res = al.align(reads)          # packed path (default)
 
     # recompute through the full path batch by batch
     P = al.batch_pairs
@@ -130,7 +131,7 @@ def test_compact_transfer_equals_full():
         seqs[:2 * cnt, :blk.shape[1]] = blk
         plens[:cnt] = reads.lengths[start:start + cnt]
         full = ra._align_pairs_device(
-            al.genome, al.index.sorted_kmers, al.index.sorted_pos,
+            al.genome, al.index.sorted_kmers, al.index.sorted_posflip,
             al.index.bucket_lo,
             jnp.asarray(seqs), jnp.asarray(plens), seed_len=cfg.seed_len,
             stride=cfg.seed_stride, pad=cfg.band_pad,
@@ -149,11 +150,47 @@ def test_compact_transfer_equals_full():
                                       err_msg=field)
 
 
+def test_device_c13_equals_host_filter():
+    """align(c13=True) must equal align(c13=False) + the host ratio_ok
+    filter (THRESHOLD 0.6) — the device integer 3/5 compare is exact."""
+    from aligngraph_tpu.config import THRESHOLD
+
+    sim = make_simdata(seed=13, genome_len=15_000, n_pairs=150,
+                       read_len=90, insert=450, snp_rate=0.02)
+    reads = make_reads(sim)
+    cfg = Config(distance_low=150, distance_high=750)
+    raw = ReadAligner.build(sim.reference, cfg, batch_pairs=64,
+                            c13=False).align(reads)
+    dev = ReadAligner.build(sim.reference, cfg, batch_pairs=64,
+                            c13=True).align(reads)
+    keep = np.nonzero(raw.ratio_ok(THRESHOLD))[0]
+    assert dev.n == len(keep) > 50
+    for field in ("pair_id", "fr", "score", "source_start", "source_end",
+                  "source_gap", "source_size", "target_start",
+                  "target_end", "target_gap", "pos_map"):
+        np.testing.assert_array_equal(getattr(dev, field),
+                                      getattr(raw, field)[keep],
+                                      err_msg=field)
+
+
+def test_packed_reads_roundtrip():
+    from aligngraph_tpu.align.read_aligner import (
+        pack_reads_np, _unpack_reads)
+
+    rng = np.random.default_rng(3)
+    seqs = rng.integers(0, 5, (16, 101)).astype(np.int8)
+    u2, nm = pack_reads_np(seqs)
+    assert u2.shape == (16, 26) and nm.shape == (16, 13)
+    back = np.asarray(_unpack_reads(u2, nm, 101))
+    np.testing.assert_array_equal(back, seqs)
+
+
 def test_bucketed_lookup_equals_searchsorted():
     import jax.numpy as jnp
 
     from aligngraph_tpu.ops.seeding import (
         build_index, lookup_seeds, lookup_seeds_bucketed, pack_query_seeds,
+        rc_packed,
     )
 
     rng = np.random.default_rng(7)
@@ -165,8 +202,42 @@ def test_bucketed_lookup_equals_searchsorted():
         s = rng.integers(0, len(genome) - 100)
         qs[i] = genome[s:s + 100]
     packed, offs, valid = pack_query_seeds(jnp.asarray(qs), 15, 8)
-    a = lookup_seeds(idx.sorted_kmers, idx.sorted_pos, packed, valid, 8)
-    b = lookup_seeds_bucketed(idx.sorted_kmers, idx.sorted_pos,
-                              idx.bucket_lo, packed, valid, 8,
-                              idx.search_steps, idx.suffix_bits)
-    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    pcan = jnp.minimum(packed, rc_packed(packed, 15))
+    a, aok = lookup_seeds(idx.sorted_kmers, idx.sorted_posflip, pcan,
+                          valid, 8)
+    b, bok = lookup_seeds_bucketed(idx.sorted_kmers, idx.sorted_posflip,
+                                   idx.bucket_lo, pcan, valid, 8,
+                                   idx.search_steps, idx.suffix_bits)
+    np.testing.assert_array_equal(np.asarray(aok), np.asarray(bok))
+    aokn = np.asarray(aok)
+    np.testing.assert_array_equal(np.asarray(a)[aokn], np.asarray(b)[aokn])
+    assert aokn.sum() > 100
+
+
+def test_canonical_index_roundtrip():
+    """Every genome k-mer must be findable through its canonical form,
+    with the flip bit recovering the original orientation."""
+    from aligngraph_tpu.ops.seeding import (
+        build_index, pack_kmers_np, rc_packed_np)
+
+    rng = np.random.default_rng(9)
+    genome = rng.integers(0, 4, 5_000).astype(np.int8)
+    sl = 15
+    idx = build_index(genome, sl)
+    packed, valid = pack_kmers_np(genome, sl)
+    pos = np.nonzero(valid)[0]
+    fwd = packed[pos]
+    rc = rc_packed_np(fwd, sl)
+    can = np.minimum(fwd, rc)
+    # no palindromes for odd k
+    assert (fwd != rc).all()
+    lo = np.searchsorted(idx.sorted_kmers_np, can, side="left")
+    hi = np.searchsorted(idx.sorted_kmers_np, can, side="right")
+    assert (hi > lo).all()
+    # each position appears exactly once with the right flip bit
+    pf = idx.sorted_posflip_np
+    found_pos = pf & 0x7FFFFFFF
+    found_flip = pf < 0
+    order = np.argsort(found_pos)
+    np.testing.assert_array_equal(found_pos[order], pos)
+    np.testing.assert_array_equal(found_flip[order], rc < fwd)

@@ -75,6 +75,8 @@ class Config:
     band_pad: int = 16               # banded-DP half-band beyond seed diagonal
     max_candidates: int = 4          # candidate diagonals per read before DP
     work_dir: str = "tmp"            # checkpoint/artifact dir (ref: tmp/)
+    stream_reads: bool = False       # force memmap-backed read matrix
+    stream_reads_threshold: int = 1 << 28   # auto-memmap above this size
 
     # ---- flag <-> field maps (reference CLI spelling) -------------------
     _FLAGS = {

@@ -121,29 +121,94 @@ class Genome:
 
 # ---------------------------------------------------------------------------
 
-def formalize_reads(path1, path2) -> Reads:
-    """ref AlignGraph.cpp:3420-3518 — pair-synchronized, min-length truncated."""
-    ids1, seqs1 = read_fasta(path1)
-    ids2, seqs2 = read_fasta(path2)
-    if len(seqs1) != len(seqs2):
-        raise FormalizeError("INCONSISTENT PE FILES!")
-    pairs: List[Tuple[bytes, bytes]] = []
-    for s1, s2 in zip(seqs1, seqs2):
+def _iter_fasta_seqs(path):
+    """Stream sequences of a FASTA file one record at a time (bytes)."""
+    if hasattr(path, "read"):
+        path.seek(0)
+        f = path
+        close = False
+    else:
+        f = open(path, "rb")
+        close = True
+    try:
+        started = False
+        chunks: List[bytes] = []
+        for line in f:
+            if isinstance(line, str):
+                line = line.encode()
+            line = line.rstrip(b"\r\n")
+            if not line:
+                continue
+            if line.startswith(b">"):
+                if started:
+                    yield b"".join(chunks)
+                started = True
+                chunks = []
+            elif started:
+                chunks.append(line)
+        if started:
+            yield b"".join(chunks)
+    finally:
+        if close:
+            f.close()
+
+
+def formalize_reads(path1, path2, memmap_path=None) -> Reads:
+    """ref AlignGraph.cpp:3420-3518 — pair-synchronized, min-length
+    truncated.
+
+    memmap_path: when given, the read matrix is backed by a disk memmap
+    filled in a streaming pass — resident memory stays bounded regardless
+    of read count (the C14 BATCH-streaming equivalent,
+    AlignGraph.cpp:37, 361-404; the aligner already consumes the matrix
+    in fixed batch_pairs slices, so the OS page cache is the batch
+    window).
+    """
+    # pass 1 (streaming): pair-synchronized lengths
+    lens: List[int] = []
+    it1 = _iter_fasta_seqs(path1)
+    it2 = _iter_fasta_seqs(path2)
+    _SENTINEL = object()
+    while True:
+        s1 = next(it1, _SENTINEL)
+        s2 = next(it2, _SENTINEL)
+        if s1 is _SENTINEL and s2 is _SENTINEL:
+            break
+        if s1 is _SENTINEL or s2 is _SENTINEL:
+            raise FormalizeError("INCONSISTENT PE FILES!")
         if len(s1) == 0 or len(s2) == 0:
             # reference only emits pairs where both reads are non-empty
             # (AlignGraph.cpp:3452 `read1.size()!=0 && read2.size()!=0`)
+            lens.append(-1)
             continue
-        m = min(len(s1), len(s2))
-        pairs.append((s1[:m], s2[:m]))
-    n = len(pairs)
+        lens.append(min(len(s1), len(s2)))
+    lengths = np.array([l for l in lens if l >= 0], dtype=np.int32)
+    n = len(lengths)
     if n == 0:
         return Reads(0, 0, np.zeros((0, 0), np.int8), np.zeros(0, np.int32))
-    lengths = np.array([len(p[0]) for p in pairs], dtype=np.int32)
     max_len = int(lengths.max())
-    data = np.full((2 * n, max_len), 4, dtype=np.int8)
-    for i, (s1, s2) in enumerate(pairs):
-        data[2 * i, : len(s1)] = encode(s1)
-        data[2 * i + 1, : len(s2)] = encode(s2)
+    if memmap_path is not None:
+        data = np.lib.format.open_memmap(
+            str(memmap_path), mode="w+", dtype=np.int8,
+            shape=(2 * n, max_len))
+    else:
+        data = np.empty((2 * n, max_len), dtype=np.int8)
+    # pass 2 (streaming): encode into rows
+    i = 0
+    for k, (s1, s2) in enumerate(zip(_iter_fasta_seqs(path1),
+                                     _iter_fasta_seqs(path2))):
+        m = lens[k]
+        if m < 0:
+            continue
+        row1 = np.full(max_len, 4, np.int8)
+        row1[:m] = encode(s1[:m])
+        data[2 * i] = row1
+        row2 = np.full(max_len, 4, np.int8)
+        row2[:m] = encode(s2[:m])
+        data[2 * i + 1] = row2
+        i += 1
+    if memmap_path is not None:
+        data.flush()
     return Reads(n, max_len, data, lengths)
 
 

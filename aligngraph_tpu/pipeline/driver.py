@@ -108,7 +108,18 @@ def run_pipeline(cfg: Config,
 
     stage_banner(0, "formalizing inputs")
     if reads is None:
-        reads = formalize_reads(cfg.read1, cfg.read2)
+        # bounded resident read memory (C14, AlignGraph.cpp:37, 361-404):
+        # large inputs go to a disk-backed memmap filled streamingly; the
+        # aligner consumes fixed batch_pairs slices of it
+        mm = None
+        try:
+            insize = os.path.getsize(cfg.read1) + os.path.getsize(cfg.read2)
+        except OSError:
+            insize = 0
+        if cfg.stream_reads or insize > cfg.stream_reads_threshold:
+            os.makedirs(cfg.work_dir, exist_ok=True)
+            mm = os.path.join(cfg.work_dir, "_reads.npy")
+        reads = formalize_reads(cfg.read1, cfg.read2, memmap_path=mm)
     if contigs is None:
         contigs = formalize_contigs(cfg.contig)
     if genome is None:

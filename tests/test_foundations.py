@@ -183,3 +183,23 @@ def test_formalize_genome_part_larger_than_len():
     g = formalize_genome(io.BytesIO(data), part=10)
     assert g.n_parts == 1
     assert int(g.part_len.sum()) == 3
+def test_memmap_reads_equal(tmp_path):
+    import numpy as np
+    from aligngraph_tpu.io.formalize import formalize_reads
+    from aligngraph_tpu.io.fasta import write_fasta, decode
+    rng = np.random.default_rng(4)
+    seqs1 = [rng.integers(0, 4, rng.integers(60, 100)).astype(np.int8)
+             for _ in range(40)]
+    seqs2 = [rng.integers(0, 4, rng.integers(60, 100)).astype(np.int8)
+             for _ in range(40)]
+    write_fasta(tmp_path / "r1.fa", [f"a{i}" for i in range(40)],
+                [decode(s) for s in seqs1])
+    write_fasta(tmp_path / "r2.fa", [f"b{i}" for i in range(40)],
+                [decode(s) for s in seqs2])
+    a = formalize_reads(tmp_path / "r1.fa", tmp_path / "r2.fa")
+    b = formalize_reads(tmp_path / "r1.fa", tmp_path / "r2.fa",
+                        memmap_path=tmp_path / "mm.npy")
+    assert isinstance(b.data, np.memmap)
+    np.testing.assert_array_equal(np.asarray(b.data), a.data)
+    np.testing.assert_array_equal(b.lengths, a.lengths)
+    assert b.n_pairs == a.n_pairs and b.max_len == a.max_len

@@ -77,12 +77,29 @@ def _unpack_reads(u2: jax.Array, nmask: jax.Array, L: int) -> jax.Array:
 
 def _revcomp_padded(seqs: jax.Array, lens: jax.Array) -> jax.Array:
     """Reverse-complement padded reads: rc[i] = comp(seq[len-1-i]) for
-    i < len, pad 4 beyond."""
+    i < len, pad 4 beyond.  (Device path; the production packed pipeline
+    computes this on HOST — an elementwise device gather costs ~8 ns/elem
+    on TPU, 34 ms/batch measured.)"""
     R, L = seqs.shape
     idx = lens[:, None] - 1 - jnp.arange(L, dtype=jnp.int32)[None, :]
     ok = idx >= 0
     vals = jnp.take_along_axis(seqs, jnp.clip(idx, 0, L - 1), axis=1)
     return jnp.where(ok, _COMP[vals.astype(jnp.int32)], jnp.int8(4))
+
+
+_COMP_NP = np.array([3, 2, 1, 0, 4], dtype=np.int8)
+
+
+def revcomp_padded_np(seqs: np.ndarray, lens: np.ndarray) -> np.ndarray:
+    """Host revcomp of padded reads (same semantics as _revcomp_padded)."""
+    R, L = seqs.shape
+    if np.all(lens == L):
+        # uniform full-length rows (the common case): pure slice + table
+        return _COMP_NP[seqs[:, ::-1]]
+    idx = lens[:, None].astype(np.int64) - 1 - np.arange(L)[None, :]
+    ok = idx >= 0
+    vals = np.take_along_axis(seqs, np.clip(idx, 0, L - 1), axis=1)
+    return np.where(ok, _COMP_NP[vals], np.int8(4))
 
 
 def _candidate_stats(pos_map, qlens):
@@ -201,6 +218,13 @@ class ReadAligner:
         cfg = self.cfg
         P = self.batch_pairs
         L = max(reads.max_len, cfg.seed_len)
+        if L > 32767 - 2 * cfg.band_pad:
+            # packed transfer fields (seg1/ovf_src/ovf_dt/ovf_sz/score)
+            # are int16 and would wrap silently for ultra-long reads
+            raise ValueError(
+                f"read length {L} exceeds the PE read aligner's int16 "
+                f"transfer limit ({32767 - 2 * cfg.band_pad}); long "
+                f"queries belong to the contig aligner")
         n = reads.n_pairs
         pending = []
         for start in range(0, max(n, 1), P):
@@ -212,9 +236,13 @@ class ReadAligner:
                 seqs[:2 * cnt, :blk.shape[1]] = blk
                 plens[:cnt] = reads.lengths[start:start + cnt]
             u2, nmask = pack_reads_np(seqs)
+            rcseqs = revcomp_padded_np(seqs, np.repeat(plens, 2))
+            u2r, nmr = pack_reads_np(rcseqs)
             dev = _align_pairs_packed(
                 self.genome, self.index.sorted_kmers,
-                self.index.sorted_posflip, self.index.bucket_lo, jnp.asarray(u2), jnp.asarray(nmask),
+                self.index.sorted_posflip, self.index.bucket_lo,
+                jnp.asarray(u2), jnp.asarray(nmask),
+                jnp.asarray(u2r), jnp.asarray(nmr),
                 jnp.asarray(plens), L=L,
                 seed_len=cfg.seed_len, stride=cfg.seed_stride,
                 pad=cfg.band_pad, C=cfg.max_candidates,
@@ -225,7 +253,7 @@ class ReadAligner:
             pending.append((start, cnt, dev, seqs, plens))
         out_chunks = []
         for start, cnt, dev, seqs, plens in pending:
-            res = jax.tree_util.tree_map(np.asarray, dev)
+            res = unpack_records(np.asarray(dev), P)
             if (int(res["n_valid"]) > res["slot_id"].shape[0]
                     or int(res["n_ovf"]) > res["ovf_slot"].shape[0]):
                 # compaction overflow (pathological multi-mapping or
@@ -272,72 +300,47 @@ def _expand_full(res, start: int, cnt: int, L: int) -> dict:
     )
 
 
-def _expand_compact(res, start: int, cnt: int, L: int,
-                    plens: np.ndarray) -> dict:
-    """Host extraction from the compact valid-slot transfer format.
-
-    Recomputes the parse quantities (_candidate_stats equivalents) from
-    the int16 segment records with identical integer formulas, so results
-    are bit-equal to the full path (tested)."""
-    K = MAX_PAIR_HITS
-    slot = res["slot_id"]
-    mask = slot >= 0
-    slot = slot[mask]
-    p_ids = slot // K
-    keep = p_ids < max(cnt, 0)
-    slot = slot[keep]
-    p_ids = p_ids[keep]
-    sel = np.nonzero(mask)[0][keep]
-    fr = res["fr"][sel]
-    score = res["score"][sel].astype(np.int32)
-    tgt_base = res["tgt_base"][sel]                      # [n, 2]
-    s16 = res["segs16"][sel].astype(np.int32)            # [n, 2, S, 3]
-    sz = s16[..., 2]
-    segv = sz > 0
-    segs = np.stack([
-        np.where(segv, s16[..., 0], -1),
-        np.where(segv, tgt_base[..., None] + s16[..., 1], -1),
-        np.where(segv, sz, -1),
-    ], axis=-1)                                          # [n, 2, S, 3]
-    match = np.sum(np.where(segv, sz, 0), axis=-1)       # [n, 2]
-    nseg = np.maximum(segv.sum(axis=-1), 1)
-    last = (nseg - 1)[..., None]
-    ss = s16[..., 0, 0]
-    src_last = np.take_along_axis(s16[..., 0], last, axis=-1)[..., 0]
-    sz_last = np.take_along_axis(sz, last, axis=-1)[..., 0]
-    se = src_last + sz_last
-    ins = (se - ss) - match
-    tea = np.take_along_axis(segs[..., 1], last, axis=-1)[..., 0] + sz_last
-    dele = (tea - tgt_base) - match
-    qlen = plens[p_ids][:, None].astype(np.int32)
-    te_ref = tgt_base + qlen + dele - ins
-    return dict(
-        pair_id=(p_ids + start).astype(np.int32),
-        fr=fr,
-        score=score,
-        source_start=ss.astype(np.int32),
-        source_end=se.astype(np.int32),
-        source_gap=ins.astype(np.int32),
-        source_size=np.broadcast_to(qlen, ins.shape).copy(),
-        target_start=tgt_base,
-        target_end=te_ref.astype(np.int32),
-        target_gap=dele.astype(np.int32),
-        pos_map=reconstruct_pos_map(segs, L),
-    )
-
-
 def _window_slices(genome: jax.Array, start: jax.Array, WL: int,
                    P0: int) -> jax.Array:
-    """Per-row contiguous genome windows via sliced gather.
+    """Per-row contiguous genome windows, 32-byte-aligned-row gather.
 
     out[i] = genome[start[i] : start[i]+WL] with out-of-range bases = 4.
-    start must satisfy start >= -P0.  One WL-wide slice gather per row
-    instead of WL elementwise gathers."""
+    start must satisfy start >= -P0.  Formulation matters enormously on
+    TPU (scripts/microbench_gather.py): vmap(dynamic_slice) AND lax.gather
+    with slice_sizes lower to a serial per-row while-loop (57 ms for 49k
+    rows); an elementwise gp[lo[:,None]+arange] gather runs ~8 ns/element
+    (52 ms); gathering aligned 32-byte rows (as 8xint32) and phase-
+    shifting in registers runs ~7 ms.  The int32 packing of the genome is
+    recomputed per call — pure vector ops, fused and negligible next to
+    the gather."""
+    G = genome.shape[0]
+    B = start.shape[0]
+    FP = (P0 + 31) // 32 * 32
+    NR = (WL + 62) // 32                 # rows covering WL + byte phase
+    NWv = (WL + 3) // 4 + 1              # words covering WL + word phase
+    assert NWv + 7 <= NR * 8
+    T = (FP + G + FP + 32 * NR + 31) // 32 * 32
     gp = jnp.concatenate([
-        jnp.full((P0,), 4, jnp.int8), genome,
-        jnp.full((P0 + WL,), 4, jnp.int8)])
-    lo = jnp.clip(start + P0, 0, genome.shape[0] + P0)
-    return jax.vmap(lambda l: jax.lax.dynamic_slice(gp, (l,), (WL,)))(lo)
+        jnp.full((FP,), 4, jnp.int8), genome,
+        jnp.full((T - FP - G,), 4, jnp.int8)])
+    v = gp.reshape(-1, 4).astype(jnp.int32)
+    words = (v[:, 0] | (v[:, 1] << 8) | (v[:, 2] << 16)
+             | (v[:, 3] << 24)).reshape(-1, 8)       # [T/32, 8]
+    lo = jnp.clip(start + FP, 0, G + FP).astype(jnp.int32)
+    rows = words[(lo >> 5)[:, None] + jnp.arange(NR, dtype=jnp.int32)]
+    ww = rows.reshape(B, NR * 8)
+    sw = ((lo >> 2) & 7)[:, None]
+    out_w = ww[:, 0:NWv]
+    for s in range(1, 8):
+        out_w = jnp.where(sw == s, ww[:, s:s + NWv], out_w)
+    by = jnp.stack([out_w & 0xFF, (out_w >> 8) & 0xFF,
+                    (out_w >> 16) & 0xFF, (out_w >> 24) & 0xFF],
+                   axis=-1).reshape(B, 4 * NWv)
+    ph = (lo & 3)[:, None]
+    out = by[:, 0:WL]
+    for s in range(1, 4):
+        out = jnp.where(ph == s, by[:, s:s + WL], out)
+    return out.astype(jnp.int8)
 
 
 @partial(jax.jit, static_argnames=("seed_len", "stride", "pad", "C", "K",
@@ -345,13 +348,27 @@ def _window_slices(genome: jax.Array, start: jax.Array, WL: int,
 def _align_pairs_device(genome, sorted_kmers, sorted_posflip, bucket_lo,
                         seqs, plens, *, seed_len, stride, pad, C, K, dlow,
                         dhigh, bsteps, sbits):
-    """One batch of P pairs -> top-K pair alignments per pair."""
+    """One batch of P pairs -> top-K pair alignments per pair.
+
+    Full-layout path (fallback + tests): computes the reverse complement
+    on device; the production packed path receives it precomputed from
+    the host (revcomp is an elementwise gather — slow on TPU)."""
+    rlens = jnp.repeat(plens, 2)
+    rc = _revcomp_padded(seqs, rlens)
+    return _align_core(genome, sorted_kmers, sorted_posflip, bucket_lo,
+                       seqs, rc, plens, seed_len=seed_len, stride=stride,
+                       pad=pad, C=C, K=K, dlow=dlow, dhigh=dhigh,
+                       bsteps=bsteps, sbits=sbits)
+
+
+def _align_core(genome, sorted_kmers, sorted_posflip, bucket_lo,
+                seqs, rc, plens, *, seed_len, stride, pad, C, K, dlow,
+                dhigh, bsteps, sbits):
     R, L = seqs.shape            # R = 2P (mate-interleaved)
     P = R // 2
     W = 2 * pad
     WL = L + W
     rlens = jnp.repeat(plens, 2)                     # [R]
-    rc = _revcomp_padded(seqs, rlens)
     qseqs = jnp.concatenate([seqs, rc])              # [2R, L] for DP gather
     qlens = jnp.concatenate([rlens, rlens])
 
@@ -378,15 +395,22 @@ def _align_pairs_device(genome, sorted_kmers, sorted_posflip, bucket_lo,
     # DP capacity ~1.5 rows/read, 128-aligned (Pallas lane tiles), clamped
     # to the full table for tiny batches
     TOP = min(B_full, max(128, (3 * R // 2) // 128 * 128))
-    order = jnp.argsort(~cvalid_f, stable=True)      # valid rows first
-    top = order[:TOP]
+    # valid rows first: ONE multi-operand stable sort carries the values
+    # (diag, orient, source row) through the compaction so no post-sort
+    # gathers are needed
+    iota_f = jnp.arange(B_full, dtype=jnp.int32)
+    orient_f = orient_s.T.reshape(-1)
+    inval_s, diag_s_top, orient_top, src_row = jax.lax.sort(
+        ((~cvalid_f).astype(jnp.int32), diag_f, orient_f, iota_f),
+        dimension=0, num_keys=1, is_stable=True)
+    top = src_row[:TOP]
     inv = jnp.full(B_full, -1, jnp.int32).at[top].set(
         jnp.arange(TOP, dtype=jnp.int32))            # full row -> top row
 
-    cvalid = cvalid_f[top]
-    diag_safe = jnp.where(cvalid, diag_f[top], 0)
+    cvalid = inval_s[:TOP] == 0
+    diag_safe = jnp.where(cvalid, diag_s_top[:TOP], 0)
     rr = top % R                                     # read row of each slot
-    qidx = orient_s.T.reshape(-1)[top] * R + rr      # row in qseqs
+    qidx = orient_top[:TOP] * R + rr                 # row in qseqs
     windows = _window_slices(genome, diag_safe - pad, WL, L + W)
     creads = qseqs[qidx]
     clens = qlens[qidx]
@@ -410,11 +434,17 @@ def _align_pairs_device(genome, sorted_kmers, sorted_posflip, bucket_lo,
     cand = inv[cand_full]                            # top-row idx or -1
     present = cand >= 0
     cand = jnp.where(present, cand, 0)
-    m_fr = orient_s.T.reshape(-1)[cand_full].astype(jnp.int8)
-    m_good = good[cand] & present
-    m_score = score[cand]
-    m_ts = st["tgt_start"][cand]
-    m_tea = st["tgt_end_actual"][cand]
+    m_fr = orient_f[cand_full].astype(jnp.int8)
+    # consolidated row-gather: every per-candidate quantity pairing needs,
+    # in ONE gather (TPU gather cost is ~per-index, so one [.., 4]-row
+    # gather beats four scalar gathers 4x)
+    mt = jnp.stack([good.astype(jnp.int32), score,
+                    st["tgt_start"], st["tgt_end_actual"]], axis=-1)
+    m_all = mt[cand]                                 # [P, 2, C, 4]
+    m_good = (m_all[..., 0] > 0) & present
+    m_score = m_all[..., 1]
+    m_ts = m_all[..., 2]
+    m_tea = m_all[..., 3]
     # dedup identical placements (same tgt_start & fr, earlier slot wins)
     same = ((m_ts[..., None, :] == m_ts[..., :, None])
             & (m_fr[..., None, :] == m_fr[..., :, None])
@@ -444,48 +474,52 @@ def _align_pairs_device(genome, sorted_kmers, sorted_posflip, bucket_lo,
     ok = (g1 & g2 & opp & (ts_fwd <= ts_rev)
           & (frag >= dlow) & (frag <= dhigh))
     total = jnp.where(ok, s1 + s2, -1)
-    # rank: total desc, then fragment-start asc (deterministic); composed
-    # stable argsorts instead of a packed int64 key (x64 disabled)
+    # rank: total desc, then fragment-start asc (deterministic); ONE
+    # multi-operand stable sort ((score, frag-start) keys + every payload
+    # pairing needs) — same ordering as the previous composed argsort +
+    # take_along_axis chains (lexicographic with original-index ties) but
+    # without their ~1 ms/elementwise-gather cost
     big = jnp.int32(2**30)
     key_lo = jnp.where(ok, lo, big).reshape(P, -1)
     key_sc = jnp.where(ok, -total, big).reshape(P, -1)
-    o1 = jnp.argsort(key_lo, axis=1, stable=True)
-    o2 = jnp.argsort(jnp.take_along_axis(key_sc, o1, axis=1), axis=1,
-                     stable=True)
-    order = jnp.take_along_axis(o1, o2, axis=1)[:, :K]   # [P, K]
-    kvalid = jnp.take_along_axis(ok.reshape(P, -1), order, axis=1)
-    j1 = order // C
-    j2 = order % C
-
-    def gather_mate(arr, jm, mate):
-        # arr: [P, 2, 2C] -> [P, K]
-        return jnp.take_along_axis(arr[:, mate, :], jm, axis=1)
-
+    cand1_full = jnp.broadcast_to(cand[:, 0, :, None],
+                                  (P, C, C)).reshape(P, -1)
+    cand2_full = jnp.broadcast_to(cand[:, 1, None, :],
+                                  (P, C, C)).reshape(P, -1)
+    fr1_full = jnp.broadcast_to(m_fr[:, 0, :, None].astype(jnp.int32),
+                                (P, C, C)).reshape(P, -1)
+    fr2_full = jnp.broadcast_to(m_fr[:, 1, None, :].astype(jnp.int32),
+                                (P, C, C)).reshape(P, -1)
+    _, _, ok_s, c1_s, c2_s, f1_s, f2_s = jax.lax.sort(
+        (key_sc, key_lo, ok.reshape(P, -1).astype(jnp.int32),
+         cand1_full, cand2_full, fr1_full, fr2_full),
+        dimension=1, num_keys=2, is_stable=True)
     out = {}
-    cand1 = gather_mate(cand, j1, 0)                 # flat candidate ids
-    cand2 = gather_mate(cand, j2, 1)
-    both = jnp.stack([cand1, cand2], axis=-1)        # [P, K, 2]
-
-    def pick(a):
-        return a[both]
-
-    out["valid"] = kvalid
-    out["fr"] = jnp.stack([gather_mate(m_fr, j1, 0),
-                           gather_mate(m_fr, j2, 1)], axis=-1)
-    out["score"] = pick(score)
-    out["src_start"] = pick(st["src_start"])
-    out["src_end"] = pick(st["src_end"])
-    out["src_gap"] = pick(st["src_gap"])
-    out["src_size"] = pick(clens)
-    out["tgt_start"] = pick(st["tgt_start"])
-    out["tgt_end"] = pick(st["tgt_end"])
-    out["tgt_gap"] = pick(st["tgt_gap"])
+    kvalid = ok_s[:, :K] > 0
+    both = jnp.stack([c1_s[:, :K], c2_s[:, :K]], axis=-1)   # [P, K, 2]
+    out["fr"] = jnp.stack([f1_s[:, :K], f2_s[:, :K]],
+                          axis=-1).astype(jnp.int8)
     # compact transfer format: M-block segments, extracted once over the
-    # TOP DP rows (2.5x fewer rows than the [P, K, 2] hit table), then
-    # gathered per selected hit
+    # TOP DP rows (2.5x fewer rows than the [P, K, 2] hit table); then ONE
+    # consolidated row-gather ships every per-hit output column (8 stats +
+    # overflow flag + MAXSEG*3 segment words) per selected hit
     segs_top, ovf_top = _extract_segments(pos_map)   # [TOP, MAXSEG, 3]
-    out["segs"] = segs_top[both]                     # [P, K, 2, MAXSEG, 3]
-    out["valid"] = out["valid"] & ~jnp.any(ovf_top[both], axis=-1)
+    allcols = jnp.concatenate([
+        jnp.stack([score, st["src_start"], st["src_end"], st["src_gap"],
+                   clens, st["tgt_start"], st["tgt_end"], st["tgt_gap"],
+                   ovf_top.astype(jnp.int32)], axis=-1),
+        segs_top.reshape(TOP, MAXSEG * 3)], axis=1)  # [TOP, 9 + 24]
+    gsel = allcols[both]                             # [P, K, 2, 33]
+    out["valid"] = kvalid & ~jnp.any(gsel[..., 8] > 0, axis=-1)
+    out["score"] = gsel[..., 0]
+    out["src_start"] = gsel[..., 1]
+    out["src_end"] = gsel[..., 2]
+    out["src_gap"] = gsel[..., 3]
+    out["src_size"] = gsel[..., 4]
+    out["tgt_start"] = gsel[..., 5]
+    out["tgt_end"] = gsel[..., 6]
+    out["tgt_gap"] = gsel[..., 7]
+    out["segs"] = gsel[..., 9:].reshape(P, K, 2, MAXSEG, 3)
     return out
 
 
@@ -503,18 +537,21 @@ def _c13_mask_np(out: dict) -> np.ndarray:
                                    "K", "dlow", "dhigh", "bsteps", "sbits",
                                    "c13"))
 def _align_pairs_packed(genome, sorted_kmers, sorted_posflip, bucket_lo, u2,
-                        nmask, plens, *, L, seed_len, stride, pad, C, K,
-                        dlow, dhigh, bsteps, sbits, c13):
-    """Tunnel-optimized batch: 2-bit packed reads in, first-segment +
-    overflow-buffer records out, C13 ratio filter applied on device.
+                        nmask, u2r, nmr, plens, *, L, seed_len, stride, pad,
+                        C, K, dlow, dhigh, bsteps, sbits, c13):
+    """Tunnel-optimized batch: 2-bit packed reads (forward AND host-side
+    reverse complement) in, first-segment + overflow-buffer records out,
+    C13 ratio filter applied on device.
 
-    Transfer budget vs _align_pairs_compact: input 8 -> 2.25 bits/base;
-    output 114 -> ~30 bytes/slot (most short-read alignments are a single
-    M-block — indels split blocks, mismatches do not — so only segments
-    beyond the first go through the sparse overflow buffer)."""
+    Transfer budget: input 2x 2.25 bits/base (fwd + rc; still ~4x smaller
+    than one int8 leg), output ~30 bytes/slot (most short-read alignments
+    are a single M-block — indels split blocks, mismatches do not — so
+    only segments beyond the first go through the sparse overflow
+    buffer)."""
     seqs = _unpack_reads(u2, nmask, L)
-    out = _align_pairs_device.__wrapped__(
-        genome, sorted_kmers, sorted_posflip, bucket_lo, seqs, plens,
+    rc = _unpack_reads(u2r, nmr, L)
+    out = _align_core(
+        genome, sorted_kmers, sorted_posflip, bucket_lo, seqs, rc, plens,
         seed_len=seed_len, stride=stride, pad=pad, C=C, K=K, dlow=dlow,
         dhigh=dhigh, bsteps=bsteps, sbits=sbits)
     if c13:
@@ -564,20 +601,61 @@ def _align_pairs_packed(genome, sorted_kmers, sorted_posflip, bucket_lo, u2,
             - tgt_base[e_slot, e_mate]).astype(jnp.int16)
     e_sz = segs[..., 2][esel].astype(jnp.int16)
 
-    return dict(
-        n_valid=jnp.sum(valid_f.astype(jnp.int32)),
-        n_ovf=jnp.sum(extra.astype(jnp.int32)),
-        slot_id=jnp.where(svalid, slots, -1),
-        frp=jnp.where(svalid, frp, jnp.uint8(255)),
-        score=g(out["score"]).astype(jnp.int16),
-        tgt_base=tgt_base,
-        seg1=seg1,
-        ovf_slot=jnp.where(evalid, e_slot, -1),
-        ovf_ms=jnp.where(evalid, e_mate * 8 + e_seg, -1).astype(jnp.int8),
-        ovf_src=jnp.where(evalid, e_src, -1),
-        ovf_dt=jnp.where(evalid, e_dt, -1),
-        ovf_sz=jnp.where(evalid, e_sz, -1),
-    )
+    # serialize every output field into ONE int32 buffer: the tunnel's
+    # device->host fetch costs ~30 ms latency PER BUFFER (measured: 12
+    # buffers x 6 batches = 2.1 s of pure round-trips), so one buffer per
+    # batch is 12x fewer round-trips.  Layout (words; M % 4 == 0,
+    # E % 4 == 0 — P is a multiple of 128):
+    #   [0] n_valid  [1] n_ovf
+    #   [2, 2+M)          slot_id        int32
+    #   [+M/4)            frp            uint8 x4/word
+    #   [+M)              score[M,2]     int16 x2/word
+    #   [+2M)             tgt_base[M,2]  int32
+    #   [+2M)             seg1[M,2,2]    int16 x2/word
+    #   [+E)              ovf_slot       int32
+    #   [+E/4)            ovf_ms         int8 x4/word
+    #   [+E/2)            ovf_src        int16 x2/word
+    #   [+E/2)            ovf_dt         int16 x2/word
+    #   [+E/2)            ovf_sz         int16 x2/word
+    bc = partial(jax.lax.bitcast_convert_type, new_dtype=jnp.int32)
+    buf = jnp.concatenate([
+        jnp.stack([jnp.sum(valid_f.astype(jnp.int32)),
+                   jnp.sum(extra.astype(jnp.int32))]),
+        jnp.where(svalid, slots, -1),
+        bc(jnp.where(svalid, frp, jnp.uint8(255)).reshape(M // 4, 4)),
+        bc(g(out["score"]).astype(jnp.int16)),
+        tgt_base.reshape(2 * M),
+        bc(seg1).reshape(2 * M),
+        jnp.where(evalid, e_slot, -1),
+        bc(jnp.where(evalid, e_mate * 8 + e_seg,
+                     -1).astype(jnp.int8).reshape(E // 4, 4)),
+        bc(jnp.where(evalid, e_src, jnp.int16(-1)).reshape(E // 2, 2)),
+        bc(jnp.where(evalid, e_dt, jnp.int16(-1)).reshape(E // 2, 2)),
+        bc(jnp.where(evalid, e_sz, jnp.int16(-1)).reshape(E // 2, 2)),
+    ])
+    return buf
+
+
+def unpack_records(buf: np.ndarray, P: int) -> dict:
+    """Host: decode the single-buffer transfer of _align_pairs_packed back
+    into the per-field record dict (zero-copy numpy views)."""
+    M = (3 * P) // 2
+    E = max(P // 2, 128)
+    o = 2
+    out = {"n_valid": buf[0], "n_ovf": buf[1]}
+    out["slot_id"] = buf[o:o + M]; o += M
+    out["frp"] = buf[o:o + M // 4].view(np.uint8); o += M // 4
+    out["score"] = buf[o:o + M].view(np.int16).reshape(M, 2); o += M
+    out["tgt_base"] = buf[o:o + 2 * M].reshape(M, 2); o += 2 * M
+    out["seg1"] = buf[o:o + 2 * M].view(np.int16).reshape(M, 2, 2)
+    o += 2 * M
+    out["ovf_slot"] = buf[o:o + E]; o += E
+    out["ovf_ms"] = buf[o:o + E // 4].view(np.int8); o += E // 4
+    out["ovf_src"] = buf[o:o + E // 2].view(np.int16); o += E // 2
+    out["ovf_dt"] = buf[o:o + E // 2].view(np.int16); o += E // 2
+    out["ovf_sz"] = buf[o:o + E // 2].view(np.int16); o += E // 2
+    assert o == buf.shape[0]
+    return out
 
 
 def _expand_packed(res, start: int, cnt: int, L: int,
@@ -669,46 +747,3 @@ def _expand_packed(res, start: int, cnt: int, L: int,
     )
 
 
-@partial(jax.jit, static_argnames=("seed_len", "stride", "pad", "C", "K",
-                                   "dlow", "dhigh", "bsteps", "sbits"))
-def _align_pairs_compact(genome, sorted_kmers, sorted_posflip, bucket_lo, seqs,
-                         plens, *, seed_len, stride, pad, C, K, dlow, dhigh,
-                         bsteps, sbits):
-    """_align_pairs_device + valid-slot compaction of the transfer.
-
-    The [P, K] hit table averages ~1 valid slot per pair; the device->host
-    tunnel is bandwidth-bound, so only the valid slots are shipped, with
-    M-block segments packed to int16 (src_start, tgt_start - tgt_base,
-    size).  Capacity is 3P/2 slots; `n_valid` lets the host detect
-    overflow and fall back to the full layout."""
-    out = _align_pairs_device.__wrapped__(
-        genome, sorted_kmers, sorted_posflip, bucket_lo, seqs, plens,
-        seed_len=seed_len, stride=stride, pad=pad, C=C, K=K, dlow=dlow,
-        dhigh=dhigh, bsteps=bsteps, sbits=sbits)
-    P = out["valid"].shape[0]
-    M = (3 * P) // 2
-    valid_f = out["valid"].reshape(P * K)
-    order = jnp.argsort(~valid_f, stable=True)   # valid slots first, in
-    slots = order[:M].astype(jnp.int32)          # (pair, k) order
-    svalid = valid_f[slots]
-    p_ids = slots // K
-    k_ids = slots % K
-
-    def g(a):
-        return a[p_ids, k_ids]
-
-    segs = g(out["segs"])                        # [M, 2, S, 3] int32
-    tgt_base = g(out["tgt_start"])               # [M, 2]
-    segv = segs[..., 2] > 0
-    seg_src = segs[..., 0].astype(jnp.int16)
-    seg_dt = jnp.where(segv, segs[..., 1] - tgt_base[..., None],
-                       -1).astype(jnp.int16)
-    seg_sz = segs[..., 2].astype(jnp.int16)
-    return dict(
-        n_valid=jnp.sum(valid_f.astype(jnp.int32)),
-        slot_id=jnp.where(svalid, slots, -1),
-        fr=g(out["fr"]),
-        score=g(out["score"]).astype(jnp.int16),
-        tgt_base=tgt_base,
-        segs16=jnp.stack([seg_src, seg_dt, seg_sz], axis=-1),
-    )

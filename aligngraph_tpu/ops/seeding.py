@@ -151,7 +151,9 @@ def build_index(genome_codes: np.ndarray, seed_len: int = 15) -> SeedIndex:
     posflip = np.where(flip, pos | np.int32(-2**31), pos).astype(np.int32)
     order = np.argsort(kmers, kind="stable")
     sorted_kmers = kmers[order]
-    prefix_bits = min(24, 2 * seed_len,
+    # ~4 table slots per k-mer; cap 26 bits = 256 MB table (HBM is 16 GB;
+    # a finer table shrinks the largest bucket and hence the probe count)
+    prefix_bits = min(26, 2 * seed_len,
                       max(14, int(np.ceil(np.log2(max(len(kmers), 2)))) + 2))
     suffix_bits = 2 * seed_len - prefix_bits
     n_buckets = 1 << prefix_bits
@@ -189,18 +191,30 @@ def pack_query_seeds(seqs: jax.Array, seed_len: int, stride: int):
     return packed, offsets, ~invalid
 
 
-def _slice_gather(arr: jax.Array, lo: jax.Array, width: int) -> jax.Array:
+def _slice_gather(arr: jax.Array, lo: jax.Array, width: int,
+                  pad_value=0) -> jax.Array:
     """Gather contiguous runs: out[..., j] = arr_padded[lo[...] + j].
 
-    One sliced gather per run instead of width elementwise gathers (the
-    dominant cost of the previous per-element formulation)."""
-    pad = jnp.zeros((width,), arr.dtype)
-    arrp = jnp.concatenate([arr, pad])
-    shp = lo.shape
-    lo_f = jnp.clip(lo.reshape(-1), 0, arr.shape[0])
-    out = jax.vmap(
-        lambda l: jax.lax.dynamic_slice(arrp, (l,), (width,)))(lo_f)
-    return out.reshape(shp + (width,))
+    Rows-of-8 formulation (measured fastest on v5e; see
+    scripts/microbench_gather.py).  TPU gather cost is ~per-INDEX, so
+    gathering aligned 8-element rows and phase-shifting in registers
+    beats both the elementwise arrp[lo[...,None]+arange] gather
+    (~8 ns/element) and lax.gather with slice_sizes / vmap(dynamic_slice)
+    (which lower to a serial per-row while-loop — 353 ms for 262k rows,
+    the single largest op in the align program when first traced)."""
+    M = arr.shape[0]
+    nr = (width + 14) // 8          # rows covering width bytes + phase 7
+    M8 = (M + 8 * nr + 7) // 8 * 8
+    pad = jnp.full((M8 - M,), pad_value, arr.dtype)
+    a2 = jnp.concatenate([arr, pad]).reshape(-1, 8)
+    lo_c = jnp.clip(lo, 0, M).astype(jnp.int32)
+    rows = a2[(lo_c >> 3)[..., None] + jnp.arange(nr, dtype=jnp.int32)]
+    flat = rows.reshape(lo.shape + (nr * 8,))
+    ph = (lo_c & 7)[..., None]
+    out = flat[..., 0:width]
+    for s in range(1, 8):
+        out = jnp.where(ph == s, flat[..., s:s + width], out)
+    return out
 
 
 @partial(jax.jit, static_argnames=("max_hits",))
@@ -236,26 +250,30 @@ def lookup_seeds_bucketed(sorted_kmers, sorted_posflip, bucket_lo, packed,
     A full searchsorted over M k-mers costs ~2*log2(M) dependent random
     gathers per query.  Here the prefix bucket table bounds the range in
     one gather, then `steps` (= log2 of the largest bucket) bounded
-    binary-search iterations resolve the exact k-mer run — the in-bucket
-    probes are cache-local."""
+    binary-search iterations resolve the LEFT bound of the k-mer run.
+    There is no right-bound search: the run length (capped at
+    max_hits + 1, which is all the repetitive-seed policy needs) is read
+    from a (max_hits+1)-wide key gather at lo — keys are sorted, so the
+    equal run is a prefix.  The key-row gather costs ~1 probe; the
+    right-bound search it replaces costs `steps` probes."""
     M = sorted_kmers.shape[0]
     prefix = (packed >> suffix_bits).astype(jnp.int32)
     lo0 = bucket_lo[prefix]
     hi0 = bucket_lo[prefix + 1]
 
-    def left_bound(target):
-        lo, hi = lo0, hi0
-        for _ in range(steps):
-            go = lo < hi
-            mid = (lo + hi) >> 1
-            less = sorted_kmers[jnp.clip(mid, 0, M - 1)] < target
-            lo = jnp.where(go & less, mid + 1, lo)
-            hi = jnp.where(go & ~less, mid, hi)
-        return lo
+    lo, hi = lo0, hi0
+    for _ in range(steps):
+        go = lo < hi
+        mid = (lo + hi) >> 1
+        less = sorted_kmers[jnp.clip(mid, 0, M - 1)] < packed
+        lo = jnp.where(go & less, mid + 1, lo)
+        hi = jnp.where(go & ~less, mid, hi)
 
-    lo = left_bound(packed)
-    hi = left_bound(packed + 1)   # right bound: all keys == packed precede
-    count = hi - lo
+    # pad value 2^31-1 can never equal a packed k-mer (< 2^(2*seed_len)
+    # <= 2^30), so off-end reads never inflate the count
+    keys = _slice_gather(sorted_kmers, lo, max_hits + 1,
+                         pad_value=np.int32(2**31 - 1))
+    count = jnp.sum(keys == packed[..., None], axis=-1)  # min(run, mh+1)
     ok = (
         valid[..., None]
         & (count[..., None] <= max_hits)
@@ -318,14 +336,14 @@ def select_candidates(posflip, ok, qflip, seed_offsets, qlens,
     votes_at_start = jnp.minimum(next_start, n_valid) - idx
     votes = jnp.where(new_cluster, votes_at_start, 0)
     rep_diag = jnp.where(new_cluster, diag, INVALID_DIAG)
-    # rank clusters by (votes desc, rep_diag asc): composed stable argsorts
-    o1 = jnp.argsort(rep_diag, axis=1, stable=True)
-    neg_votes = jnp.take_along_axis(-votes, o1, axis=1)
-    o2 = jnp.argsort(neg_votes, axis=1, stable=True)
-    order = jnp.take_along_axis(o1, o2, axis=1)
-    topk = order[:, :max_candidates]
-    out_votes = jnp.take_along_axis(votes, topk, axis=1)
-    out_diag = jnp.take_along_axis(rep_diag, topk, axis=1)
+    # rank clusters by (votes desc, rep_diag asc): ONE multi-operand
+    # lexicographic lax.sort.  (Composed argsort + take_along_axis chains
+    # cost ~8 ns/element in elementwise TPU gathers — 45 ms/batch
+    # measured; the variadic sort keeps everything in vector registers.)
+    neg_sorted, diag_sorted = jax.lax.sort(
+        (-votes, rep_diag), dimension=1, num_keys=2, is_stable=True)
+    out_votes = -neg_sorted[:, :max_candidates]
+    out_diag = diag_sorted[:, :max_candidates]
     orient = ((out_diag != INVALID_DIAG)
               & (out_diag >= RC_OFFSET)).astype(jnp.int32)
     out_diag = jnp.where(out_votes > 0,

@@ -30,6 +30,12 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from aligngraph_tpu.align import read_aligner as ra
+from aligngraph_tpu.config import Config
+
+# engine-knob defaults derive from Config so the sharded and single-chip
+# paths cannot silently drift (they previously did: stride=8 here vs
+# Config.seed_stride=12)
+_DEF = Config()
 
 
 def make_mesh(n_devices: Optional[int] = None, axis: str = "dp") -> Mesh:
@@ -38,38 +44,38 @@ def make_mesh(n_devices: Optional[int] = None, axis: str = "dp") -> Mesh:
     return Mesh(np.array(devs[:n]), (axis,))
 
 
-def make_sharded_aligner(mesh: Mesh, *, L: int, seed_len=15, stride=8,
-                         pad=16, C=4, K=ra.MAX_PAIR_HITS, dlow=0,
+def make_sharded_aligner(mesh: Mesh, *, L: int, seed_len=_DEF.seed_len,
+                         stride=_DEF.seed_stride, pad=_DEF.band_pad,
+                         C=_DEF.max_candidates, K=ra.MAX_PAIR_HITS, dlow=0,
                          dhigh=99999, bsteps=8, sbits=6, c13=True):
     """Build the jitted multi-chip read-align step over the PRODUCTION
     align program.
 
     Input shardings: (genome, sorted_kmers, sorted_posflip, bucket_lo)
-    replicated; (u2, nmask) dp-sharded on rows (2 rows per pair); plens
-    dp-sharded.  Output: the packed record dict of _align_pairs_packed,
-    each leaf dp-sharded on its leading axis (slot tables are per-shard;
-    slot_id values index the SHARD-LOCAL (pair, k) table), plus psum'd
-    global counters.
+    replicated; (u2, nmask, u2r, nmr) dp-sharded on rows (2 rows per
+    pair); plens dp-sharded.  Output: the packed record dict of
+    _align_pairs_packed, each leaf dp-sharded on its leading axis (slot
+    tables are per-shard; slot_id values index the SHARD-LOCAL (pair, k)
+    table), plus psum'd global counters.
     """
     axis = mesh.axis_names[0]
 
     def shard_fn(genome, sorted_kmers, sorted_posflip, bucket_lo, u2,
-                 nmask, plens):
-        out = ra._align_pairs_packed.__wrapped__(
+                 nmask, u2r, nmr, plens):
+        buf = ra._align_pairs_packed.__wrapped__(
             genome, sorted_kmers, sorted_posflip, bucket_lo, u2, nmask,
-            plens, L=L, seed_len=seed_len, stride=stride, pad=pad, C=C,
-            K=K, dlow=dlow, dhigh=dhigh, bsteps=bsteps, sbits=sbits,
-            c13=c13)
-        out["n_valid_total"] = jax.lax.psum(out["n_valid"], axis)[None]
-        out["n_ovf_total"] = jax.lax.psum(out["n_ovf"], axis)[None]
-        out["n_valid"] = out["n_valid"][None]
-        out["n_ovf"] = out["n_ovf"][None]
-        return out
+            u2r, nmr, plens, L=L, seed_len=seed_len, stride=stride,
+            pad=pad, C=C, K=K, dlow=dlow, dhigh=dhigh, bsteps=bsteps,
+            sbits=sbits, c13=c13)
+        # buf words 0/1 are the shard-local n_valid / n_ovf counters
+        return {"buf": buf,
+                "n_valid_total": jax.lax.psum(buf[0], axis)[None],
+                "n_ovf_total": jax.lax.psum(buf[1], axis)[None]}
 
     mapped = jax.shard_map(
         shard_fn, mesh=mesh,
         in_specs=(P(), P(), P(), P(), P(axis, None), P(axis, None),
-                  P(axis)),
+                  P(axis, None), P(axis, None), P(axis)),
         out_specs=P(axis),
         check_vma=False,
     )

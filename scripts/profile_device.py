@@ -123,7 +123,10 @@ def main():
           flush=True)
 
     u2, nmask = ra.pack_reads_np(seqs)
+    rcseqs = ra.revcomp_padded_np(seqs, np.repeat(plens, 2))
+    u2r, nmr = ra.pack_reads_np(rcseqs)
     u2_d, nm_d = jnp.asarray(u2), jnp.asarray(nmask)
+    u2r_d, nmr_d = jnp.asarray(u2r), jnp.asarray(nmr)
     kw = dict(seed_len=seed_len, stride=stride, pad=pad, C=C,
               K=ra.MAX_PAIR_HITS, dlow=cfg.distance_low,
               dhigh=cfg.distance_high, bsteps=idx.search_steps,
@@ -131,8 +134,9 @@ def main():
 
     def full():
         out = ra._align_pairs_packed(genome, sk, spf, bl, u2_d, nm_d,
+                                     u2r_d, nmr_d,
                                      plens_d, L=L, c13=True, **kw)
-        return out["n_valid"]
+        return out
 
     print(f"full packed: {t(full)*1e3:.0f} ms "
           f"({2*P/t(full):.0f} device reads/s)", flush=True)

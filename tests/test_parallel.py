@@ -62,9 +62,13 @@ def test_sharded_production_aligner_equals_single(mesh):
     want = al.align(reads)
 
     # sharded: 8 dp shards of 8 pairs each
+    from aligngraph_tpu.align.read_aligner import revcomp_padded_np
     idx = al.index
     u2, nmask = pack_reads_np(data)
+    rcdata = revcomp_padded_np(data, np.repeat(plens, 2))
+    u2r, nmr = pack_reads_np(rcdata)
     u2, nmask, pl = shard_reads_pairwise(u2, nmask, plens, 8)
+    u2r, nmr, _ = shard_reads_pairwise(u2r, nmr, plens, 8)
     step = make_sharded_aligner(
         mesh, L=L, seed_len=cfg.seed_len, stride=cfg.seed_stride,
         pad=cfg.band_pad, C=cfg.max_candidates,
@@ -79,24 +83,24 @@ def test_sharded_production_aligner_equals_single(mesh):
         jax.device_put(jnp.asarray(u2), NamedSharding(mesh, P("dp", None))),
         jax.device_put(jnp.asarray(nmask),
                        NamedSharding(mesh, P("dp", None))),
+        jax.device_put(jnp.asarray(u2r),
+                       NamedSharding(mesh, P("dp", None))),
+        jax.device_put(jnp.asarray(nmr),
+                       NamedSharding(mesh, P("dp", None))),
         jax.device_put(jnp.asarray(pl), NamedSharding(mesh, P("dp"))),
     )
     out = jax.tree_util.tree_map(np.asarray, out)
     assert int(out["n_valid_total"][0]) == want.n > 50
 
-    # decode each shard's packed records and merge (global pair ids)
+    # decode each shard's packed buffer and merge (global pair ids)
     from aligngraph_tpu.align.read_aligner import (
-        MAX_PAIR_HITS, _expand_packed)
+        _expand_packed, unpack_records)
     n_sh = 8
     per = len(pl) // n_sh
+    bufs = out["buf"].reshape(n_sh, -1)
     chunks = []
     for s in range(n_sh):
-        res_s = {}
-        for k, v in out.items():
-            if k in ("n_valid", "n_ovf", "n_valid_total", "n_ovf_total"):
-                res_s[k] = v[s] if v.ndim else v
-            else:
-                res_s[k] = v.reshape((n_sh, -1) + v.shape[1:])[s]
+        res_s = unpack_records(bufs[s], per)
         chunks.append(_expand_packed(res_s, s * per, per, L,
                                      pl[s * per:(s + 1) * per]))
     got = {k: np.concatenate([c[k] for c in chunks]) for k in chunks[0]}

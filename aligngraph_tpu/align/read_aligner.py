@@ -190,12 +190,12 @@ class ReadAligner:
     genome: jax.Array          # [G] int8
     index: SeedIndex
     cfg: Config
-    batch_pairs: int = 4096
+    batch_pairs: int = 32768
     c13: bool = True
 
     @classmethod
     def build(cls, genome_codes: np.ndarray, cfg: Config,
-              batch_pairs: int = 4096, c13: bool = True) -> "ReadAligner":
+              batch_pairs: int = 32768, c13: bool = True) -> "ReadAligner":
         idx = build_index(genome_codes, cfg.seed_len)
         return cls(genome=jnp.asarray(genome_codes), index=idx, cfg=cfg,
                    batch_pairs=batch_pairs, c13=c13)
@@ -216,7 +216,11 @@ class ReadAligner:
         capacity (extreme multi-mapping), it transparently re-runs through
         the full-layout path."""
         cfg = self.cfg
-        P = self.batch_pairs
+        # batch_pairs is a cap: small inputs use the next power of two so
+        # tiny runs (tests, small genomes) don't pad to the full 32k-pair
+        # production batch shape
+        n_ = max(reads.n_pairs, 1)
+        P = min(self.batch_pairs, max(1024, 1 << (n_ - 1).bit_length()))
         L = max(reads.max_len, cfg.seed_len)
         if L > 32767 - 2 * cfg.band_pad:
             # packed transfer fields (seg1/ovf_src/ovf_dt/ovf_sz/score)

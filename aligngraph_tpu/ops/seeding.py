@@ -258,10 +258,9 @@ def lookup_seeds_bucketed(sorted_kmers, sorted_posflip, bucket_lo, packed,
     right-bound search it replaces costs `steps` probes."""
     M = sorted_kmers.shape[0]
     prefix = (packed >> suffix_bits).astype(jnp.int32)
-    lo0 = bucket_lo[prefix]
-    hi0 = bucket_lo[prefix + 1]
-
-    lo, hi = lo0, hi0
+    # (lo0, hi0) are adjacent table entries: one 2-wide row gather
+    lohi = _slice_gather(bucket_lo, prefix, 2)
+    lo, hi = lohi[..., 0], lohi[..., 1]
     for _ in range(steps):
         go = lo < hi
         mid = (lo + hi) >> 1
@@ -269,8 +268,12 @@ def lookup_seeds_bucketed(sorted_kmers, sorted_posflip, bucket_lo, packed,
         lo = jnp.where(go & less, mid + 1, lo)
         hi = jnp.where(go & ~less, mid, hi)
 
-    # pad value 2^31-1 can never equal a packed k-mer (< 2^(2*seed_len)
-    # <= 2^30), so off-end reads never inflate the count
+    # run-length count from a (max_hits+1)-wide key row gather (keys are
+    # sorted, so the equal run is a prefix).  Pad value 2^31-1 can never
+    # equal a packed k-mer (< 2^(2*seed_len) <= 2^30), so off-end reads
+    # never inflate the count.  (An interleaved (key, posflip) single
+    # gather was measured SLOWER — the 2x-wider rows cost more than the
+    # saved per-index overhead.)
     keys = _slice_gather(sorted_kmers, lo, max_hits + 1,
                          pad_value=np.int32(2**31 - 1))
     count = jnp.sum(keys == packed[..., None], axis=-1)  # min(run, mh+1)

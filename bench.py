@@ -74,7 +74,7 @@ def main():
     from aligngraph_tpu.config import Config
     from aligngraph_tpu.io.formalize import Reads
 
-    batch = int(os.environ.get("BENCH_BATCH", 16384))
+    batch = int(os.environ.get("BENCH_BATCH", 32768))
     ref, data, lens = make_workload(genome_len=genome_len, n_pairs=n_pairs)
     reads = Reads(n_pairs, data.shape[1], data, lens)
     cfg = Config(distance_low=100, distance_high=900)

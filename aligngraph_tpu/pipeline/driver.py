@@ -139,7 +139,7 @@ def run_pipeline(cfg: Config,
         rali, cali = restored
     else:
         stage_banner(1, "aligning reads and contigs (in-engine)")
-        if cfg.iterative_map and genome.n_parts > 1:
+        if cfg.iterative_map and genome.n_parts > 1:  # noqa: SIM108
             # --iterativeMap: per-part read alignment (reference `task0`
             # per-chromosome branch, AlignGraph.cpp:3581-3613) — bounds
             # index memory at the cost of one pass per part
@@ -159,11 +159,23 @@ def run_pipeline(cfg: Config,
                 f.name: np.concatenate([getattr(r, f.name) for r in parts])
                 for f in dataclasses.fields(PairAlignments)})
             c_aligner = ContigAligner(gseq, cfg)
+            cali = c_aligner.align(contigs)
         else:
+            # the reference overlaps read-align and contig-align with a
+            # 2-pthread fork (`parallelMap`, AlignGraph.cpp:3720-3735);
+            # ours overlaps the two dispatch streams with 2 host threads
+            # (read batches stream through the TPU while contig seeding/
+            # chaining runs on host CPU)
+            import concurrent.futures as _cf
+
             r_aligner = ReadAligner.build(gseq, cfg)
-            rali = r_aligner.align(reads)
+            r_aligner.index.device_arrays()   # pre-warm shared index
             c_aligner = ContigAligner(gseq, cfg, index=r_aligner.index)
-        cali = c_aligner.align(contigs)
+            with _cf.ThreadPoolExecutor(max_workers=2) as ex:
+                fut_r = ex.submit(r_aligner.align, reads)
+                fut_c = ex.submit(c_aligner.align, contigs)
+                rali = fut_r.result()
+                cali = fut_c.result()
         if checkpoint is not None:
             checkpoint.save_alignments(rali, cali)
             checkpoint.set(0)
@@ -184,6 +196,8 @@ def run_pipeline(cfg: Config,
     per_part_scaffolds: List[List[np.ndarray]] = []
     per_part_initials: List[List[Tuple[int, np.ndarray]]] = []
     kstats = KmerBuildStats()
+    stage_s = {"contig_layer": 0.0, "kmer_build": 0.0, "traverse": 0.0}
+    stats["stage_seconds"] = stage_s
     for p in range(genome.n_parts):
         if checkpoint is not None and resume_from >= p + 1:
             saved = checkpoint.load_part(p)
@@ -197,19 +211,25 @@ def run_pipeline(cfg: Config,
         lo, hi = int(part_bounds[p]), int(part_bounds[p + 1])
         g = GraphTensors.create(genome.part_seq(p))
 
+        tst = time.time()
         cmask = (cali.target_start >= lo) & (cali.target_start < hi)
         part_cali = _subset_contig_ali(cali, cmask)
         outp = build_contig_layer(g, contigs, part_cali, part_offset=lo)
         per_part_initials.append(initial_contigs(contigs, outp))
+        stage_s["contig_layer"] += time.time() - tst
 
+        tst = time.time()
         ts = rali.target_start
         rmask = ((ts[:, 0] >= lo) & (ts[:, 0] < hi)
                  & (ts[:, 1] >= lo) & (ts[:, 1] < hi))
         part_rali = _subset_pairs(rali, rmask)
         build_kmer_layer(g, part_rali, reads, cfg.k_mer,
                          cfg.insert_variation, part_offset=lo, stats=kstats)
+        stage_s["kmer_build"] += time.time() - tst
 
+        tst = time.time()
         scaffolds, _pre = extend_and_scaffold(g, cfg.coverage, cfg.k_mer)
+        stage_s["traverse"] += time.time() - tst
         per_part_scaffolds.append(scaffolds)
         log_memory(f"part {p + 1}")   # reference: ps euf >> mem.txt
         if checkpoint is not None:
@@ -219,8 +239,11 @@ def run_pipeline(cfg: Config,
     stats["n_scaffolds"] = sum(len(s) for s in per_part_scaffolds)
 
     stage_banner(4, "refinement")
+    tst = time.time()
     res = refine(cfg, genome, contigs, per_part_initials,
                  per_part_scaffolds)
+    stage_s["refinement"] = time.time() - tst
+    stage_s["alignment"] = align_seconds
 
     out = PipelineResult(
         extended_ids=res.extended_ids, extended_seqs=res.extended_seqs,

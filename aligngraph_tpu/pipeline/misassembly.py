@@ -73,22 +73,37 @@ def _coverage_from_reads(reads: Reads, contigs: Contigs, cfg: Config):
     first = np.concatenate(
         [[True], ali.pair_id[1:] != ali.pair_id[:-1]]) if ali.n else \
         np.zeros(0, bool)
-    for r in np.nonzero(first)[0]:
-        for mate in (0, 1):
-            ts = int(ali.target_start[r, mate])
-            te = int(ali.target_end[r, mate])
-            chunk = int(np.searchsorted(offs_a, ts, side="right")) - 1
-            if chunk < 0 or chunk >= contigs.n_chunks:
-                continue
-            real = int(contigs.chunk_real[chunk])
-            base = int(contigs.chunk_start[chunk])
-            lo = ts - int(offs_a[chunk]) + base
-            hi = te - int(offs_a[chunk]) + base
-            c = cov[real]
-            lo = max(lo, 0)
-            hi = min(hi, len(c))
-            if hi > lo:
-                c[lo:hi] += 1
+    # vectorized span coverage on device (D3 op; replaces the reference's
+    # sequential cov[lo:hi] += 1 loop, AlignGraph.cpp:3940-3984): map each
+    # span into DE-CHUNKED real-contig coordinates (spans from a mid-chunk
+    # of a >1 Mb contig may run past the chunk into the next chunk of the
+    # same real contig, exactly like the host loop's min(hi, len(real))
+    # clip), accumulate once over the concatenated real axis, slice back.
+    rsel = np.nonzero(first)[0]
+    ts = ali.target_start[rsel].reshape(-1).astype(np.int64)
+    te = ali.target_end[rsel].reshape(-1).astype(np.int64)
+    chunk = np.searchsorted(offs_a, ts, side="right") - 1
+    okc = (chunk >= 0) & (chunk < contigs.n_chunks)
+    chunk_c = np.clip(chunk, 0, max(contigs.n_chunks - 1, 0))
+    real_of = np.asarray(contigs.chunk_real, np.int64)[chunk_c]
+    base_of = np.asarray(contigs.chunk_start, np.int64)[chunk_c]
+    real_len = np.array([len(c) for c in cov], np.int64)
+    real_offs = np.concatenate([[0], np.cumsum(real_len)])
+    lo_r = ts - offs_a[chunk_c] + base_of
+    hi_r = np.minimum(te - offs_a[chunk_c] + base_of, real_len[real_of])
+    lo_r = np.maximum(lo_r, 0)
+    starts2 = (real_offs[real_of] + lo_r)[okc]
+    ends2 = (real_offs[real_of] + np.maximum(hi_r, lo_r))[okc]
+    G = int(real_offs[-1])
+    if len(starts2) and G:
+        import jax.numpy as jnp
+        from aligngraph_tpu.parallel.coverage import span_coverage
+        covax = np.asarray(span_coverage(
+            jnp.asarray(starts2.astype(np.int32)),
+            jnp.asarray(ends2.astype(np.int32)), G=G))
+        for r in range(contigs.n_real):
+            o = int(real_offs[r])
+            cov[r] += covax[o:o + len(cov[r])]
     return cov
 
 

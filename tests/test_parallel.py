@@ -110,6 +110,38 @@ def test_sharded_production_aligner_equals_single(mesh):
             got[field], getattr(want, field), err_msg=field)
 
 
+def test_sharded_coverage_matches_oracle(mesh):
+    """D3: position-sharded span coverage (scatter-add + reduce_scatter +
+    cross-shard scan) == single-device jit == numpy oracle, including
+    spans that cross shard boundaries."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from aligngraph_tpu.parallel.coverage import (
+        make_sharded_coverage, pad_spans, span_coverage, span_coverage_np)
+
+    rng = np.random.default_rng(3)
+    G = 8 * 1024
+    N = 4096
+    starts = rng.integers(-50, G + 50, N).astype(np.int32)
+    ends = (starts + rng.integers(0, 300, N)).astype(np.int32)
+    # force spans that straddle every shard boundary
+    for b in range(1, 8):
+        starts[b] = b * 1024 - 100
+        ends[b] = b * 1024 + 100
+    oracle = span_coverage_np(starts, ends, G)
+    single = np.asarray(span_coverage(jnp.asarray(starts),
+                                      jnp.asarray(ends), G))
+    np.testing.assert_array_equal(single, oracle)
+
+    fn = make_sharded_coverage(mesh, G)
+    s_p, e_p = pad_spans(starts, ends, 8)
+    sh = NamedSharding(mesh, P("dp"))
+    out = fn(jax.device_put(jnp.asarray(s_p), sh),
+             jax.device_put(jnp.asarray(e_p), sh))
+    assert out.sharding.spec == P("dp")
+    np.testing.assert_array_equal(np.asarray(out), oracle)
+
+
 def test_halo_exchange_edges(mesh):
     """Edge shards get zero halos; interior shards get neighbor rows."""
     from jax.sharding import NamedSharding, PartitionSpec as P

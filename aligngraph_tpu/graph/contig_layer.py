@@ -138,32 +138,52 @@ def _apply_placement(g: GraphTensors, sp: int, seq: np.ndarray,
         pos = cur[oi]
         _push_cm_bulk(g, pos, sp, oi, seq[oi], pos + 1, snap[oi + 1])
 
-    # --- events in order ---
-    for i in event_idx:
-        i = int(i)
-        cpos = int(cur[i])
-        if nxt[i] < 0:
-            # insertion to genome: find next aligned base npp > i+1
-            rest = pm[i + 2:]
-            found = np.nonzero(rest >= 0)[0]
-            if len(found) == 0:
-                continue     # trailing unaligned run: no emission
-            npp = i + 2 + int(found[0])
-            target = int(pm[npp])
-            m = npp - i - 2
-            start = g.alloc_overflow(m + 1)
-            _push_cm(g, cpos, sp, i, seq[i], start, 0)
-            for j in range(m):
-                o = start + j
-                g.base[o] = seq[i + 1 + j]
-                _push_cm(g, o, sp, i + 1 + j, seq[i + 1 + j], o + 1, 0)
-            o = start + m
-            g.base[o] = seq[npp - 1]
-            _push_cm(g, o, sp, npp - 1, seq[npp - 1], target, snap[npp])
-        else:
+    # --- events, fully vectorized (within one placement each position is
+    # pushed at most once, so bulk pushes are order-safe; overflow blocks
+    # are allocated in event order exactly like the sequential loop) ---
+    ev = event_idx.astype(np.int64)
+    if len(ev):
+        ins_m = nxt[ev] < 0
+        del_ev = ev[~ins_m]
+        if len(del_ev):
             # deletion from genome (SD=0 -> always "large")
-            target = int(nxt[i])
-            _push_cm(g, cpos, sp, i, seq[i], target, snap[i + 1])
+            _push_cm_bulk(g, cur[del_ev], sp, del_ev, seq[del_ev],
+                          nxt[del_ev], snap[del_ev + 1])
+        ins_ev = ev[ins_m]
+        if len(ins_ev):
+            # insertion to genome: next aligned base npp > i+1 (one
+            # suffix scan instead of a per-event nonzero slice)
+            big = np.int64(n + 1)
+            rev = np.where(pm[::-1] >= 0,
+                           np.arange(n - 1, -1, -1, dtype=np.int64), big)
+            na = np.minimum.accumulate(rev)[::-1]
+            na = np.concatenate([na, np.full(2, big)])
+            npp = na[ins_ev + 2]
+            ok = npp < n          # trailing unaligned run: no emission
+            ins_ev, npp = ins_ev[ok], npp[ok]
+        if len(ins_ev):
+            m = npp - ins_ev - 2
+            start0 = g.alloc_overflow(int((m + 1).sum()))
+            offs = start0 + np.concatenate(
+                [[0], np.cumsum(m + 1)[:-1]]).astype(np.int64)
+            target = pm[npp]
+            _push_cm_bulk(g, cur[ins_ev], sp, ins_ev, seq[ins_ev], offs,
+                          np.zeros(len(ins_ev), np.int64))
+            # middle inserted bases, flat across events
+            if int(m.sum()):
+                t_idx = np.repeat(np.arange(len(ins_ev)), m)
+                j = (np.arange(len(t_idx), dtype=np.int64)
+                     - np.repeat(np.concatenate(
+                         [[0], np.cumsum(m)[:-1]]).astype(np.int64), m))
+                o = offs[t_idx] + j
+                si = ins_ev[t_idx] + 1 + j
+                g.base[o] = seq[si]
+                _push_cm_bulk(g, o, sp, si, seq[si], o + 1,
+                              np.zeros(len(o), np.int64))
+            oe = offs + m
+            g.base[oe] = seq[npp - 1]
+            _push_cm_bulk(g, oe, sp, npp - 1, seq[npp - 1], target,
+                          snap[npp])
 
     # terminal ContiMer (AlignGraph.cpp:1121-1148).  The reference's
     # trailing nextID/nextOffset reduce to: the last base's position if

@@ -286,7 +286,9 @@ def _expand_candidates(g: GraphTensors, pos, mate, arrival, kind,
     """Phase 2: cross-product anchor candidates for one endpoint kind.
 
     Returns flat row dict + (tuple_index, combo_index) back-pointers.
-    """
+    Flat formulation: per-tuple combo counts -> repeat/arange indices ->
+    two slot gathers, instead of materializing dense [T, CPO, CPM] grids
+    (which cost ~4x the flat row count in memory traffic)."""
     T = len(pos)
     posc = np.clip(pos, 0, g.n_pos - 1)
     c_cm = np.minimum(g.cm_cnt[posc], CPO).astype(np.int64)
@@ -294,31 +296,63 @@ def _expand_candidates(g: GraphTensors, pos, mate, arrival, kind,
     m_cm = np.where(mate >= 0, np.minimum(g.cm_cnt[matec], CPM), 0)
     n_own = np.maximum(c_cm, 1)       # 0 ContiMers -> one no-anchor cand
     n_mate = np.maximum(m_cm, 1)
-    # combo grid j (own) x j0 (mate)
-    j = np.arange(CPO)[None, :, None]
-    j0 = np.arange(CPM)[None, None, :]
-    valid = (j < n_own[:, None, None]) & (j0 < n_mate[:, None, None])
-    own_has = (c_cm[:, None, None] > 0) & valid
-    mate_has = (m_cm[:, None, None] > 0) & valid
-    contig = np.where(own_has, g.cm_contig[posc][:, :CPO, None].repeat(
-        CPM, axis=2).astype(np.int64), NONE)
-    coff = np.where(own_has, g.cm_coff[posc][:, :CPO, None].repeat(
-        CPM, axis=2).astype(np.int64), NONE)
-    contig0 = np.where(mate_has, g.cm_contig[matec][:, None, :CPM].repeat(
-        CPO, axis=1).astype(np.int64), NONE)
-    coff0 = np.where(mate_has, g.cm_coff[matec][:, None, :CPM].repeat(
-        CPO, axis=1).astype(np.int64), NONE)
-    gpos0 = np.broadcast_to(mate[:, None, None], valid.shape)
-    t_idx, jj, jj0 = np.nonzero(valid)
+    n_combo = n_own * n_mate
+    t_idx = np.repeat(np.arange(T, dtype=np.int64), n_combo)
+    off = np.zeros(T + 1, np.int64)
+    np.cumsum(n_combo, out=off[1:])
+    r = np.arange(len(t_idx), dtype=np.int64) - off[t_idx]
+    nm_t = n_mate[t_idx]
+    jj = r // nm_t
+    jj0 = r - jj * nm_t
+    own_has = c_cm[t_idx] > 0
+    mate_has = m_cm[t_idx] > 0
+    p_t = posc[t_idx]
+    m_t = matec[t_idx]
+    contig = np.where(own_has, g.cm_contig[p_t, jj].astype(np.int64), NONE)
+    coff = np.where(own_has, g.cm_coff[p_t, jj].astype(np.int64), NONE)
+    contig0 = np.where(mate_has, g.cm_contig[m_t, jj0].astype(np.int64),
+                       NONE)
+    coff0 = np.where(mate_has, g.cm_coff[m_t, jj0].astype(np.int64), NONE)
+    gpos0 = mate[t_idx]
     return dict(
         pos=pos[t_idx], arrival=arrival[t_idx] * 2 + kind,
         weight=np.full(len(t_idx), 1 - kind, np.int64),
         s_pack=s_pack[t_idx], s_len=s_len[t_idx], s0=s0[t_idx],
-        contig=contig[t_idx, jj, jj0], coff=coff[t_idx, jj, jj0],
-        contig0=contig0[t_idx, jj, jj0], coff0=coff0[t_idx, jj, jj0],
-        gpos0=np.where(gpos0[t_idx, jj, jj0] >= 0,
-                       gpos0[t_idx, jj, jj0], NONE),
+        contig=contig, coff=coff,
+        contig0=contig0, coff0=coff0,
+        gpos0=np.where(gpos0 >= 0, gpos0, NONE),
         t_idx=t_idx, combo=jj * CPM + jj0)
+
+
+def _pack_keys(keys):
+    """Bit-pack int64 key fields (values >= -1) into as few int64 words
+    as their runtime ranges allow; lexsort order is preserved (fields
+    packed major-to-minor, each shifted by +1 to make -1 sortable).
+
+    keys are ordered most-major LAST (np.lexsort convention); the
+    returned tuple keeps that convention."""
+    bits = []
+    for kk in keys:
+        mx = int(kk.max()) if len(kk) else 0
+        bits.append(max(1, int(mx + 2).bit_length()))
+    words: list = []
+    used = 0
+    cur = None
+    # walk from most-major (last) to least-major so each word holds a
+    # contiguous major-to-minor run
+    for kk, b in zip(reversed(keys), reversed(bits)):
+        if cur is None or used + b > 62:
+            if cur is not None:
+                words.append(cur)
+            cur = kk + 1
+            used = b
+        else:
+            cur = (cur << np.int64(b)) | (kk + 1)
+            used += b
+    if cur is not None:
+        words.append(cur)
+    # words[0] is most-major -> np.lexsort wants it LAST
+    return tuple(reversed(words))
 
 
 def _compat_vec(gc, gf, gc0, gf0, gg0, sc, sf, sc0, sf0, sg0, win):
@@ -373,12 +407,16 @@ def _merge_chunk(g: GraphTensors, tup, insert_variation: int,
 
     # ---- phase 3: coarse grouping ----
     # arrival is the MOST-MINOR sort key: the first row of each sorted
-    # group is its first-arrival representative (no ufunc.at reductions)
+    # group is its first-arrival representative (no ufunc.at reductions).
+    # The 6 group-key fields are bit-packed into as few int64 words as
+    # their runtime ranges allow (usually 2) — np.lexsort cost scales
+    # with the number of key arrays.
     coff0_q = np.where(rows["coff0"] >= 0, rows["coff0"] // bucket, NONE)
     gpos0_q = np.where(rows["gpos0"] >= 0, rows["gpos0"] // bucket, NONE)
     keys = (gpos0_q, coff0_q, rows["contig0"], rows["coff"],
             rows["contig"], rows["pos"])
-    order = np.lexsort((rows["arrival"],) + keys)
+    packed_keys = _pack_keys(keys)
+    order = np.lexsort((rows["arrival"],) + packed_keys)
     sk = [kk[order] for kk in keys]
     newg = np.zeros(R, bool)
     newg[0] = True
@@ -528,7 +566,11 @@ def _merge_chunk(g: GraphTensors, tup, insert_variation: int,
     dst_slot = k2_slot[er2]
     # dedup new edges by (src_pos, src_slot, dst_pos, dst_slot), keep
     # first arrival order
-    eorder = np.lexsort((ea, dst_slot, dst_pos, src_slot, src_pos))
+    eorder = np.lexsort(
+        (ea,) + _pack_keys((dst_slot.astype(np.int64),
+                            dst_pos.astype(np.int64),
+                            src_slot.astype(np.int64),
+                            src_pos.astype(np.int64))))
     sp_, ss_, dp_, ds_ = (src_pos[eorder], src_slot[eorder],
                           dst_pos[eorder], dst_slot[eorder])
     uniq = np.zeros(len(sp_), bool)

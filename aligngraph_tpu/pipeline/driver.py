@@ -217,6 +217,8 @@ def run_pipeline(cfg: Config,
         outp = build_contig_layer(g, contigs, part_cali, part_offset=lo)
         per_part_initials.append(initial_contigs(contigs, outp))
         stage_s["contig_layer"] += time.time() - tst
+        log.info("  contig layer: %.1fs (%d placements)",
+                 time.time() - tst, part_cali.n)
 
         tst = time.time()
         ts = rali.target_start
@@ -226,10 +228,13 @@ def run_pipeline(cfg: Config,
         build_kmer_layer(g, part_rali, reads, cfg.k_mer,
                          cfg.insert_variation, part_offset=lo, stats=kstats)
         stage_s["kmer_build"] += time.time() - tst
+        log.info("  kmer build: %.1fs (%d records)",
+                 time.time() - tst, part_rali.n)
 
         tst = time.time()
         scaffolds, _pre = extend_and_scaffold(g, cfg.coverage, cfg.k_mer)
         stage_s["traverse"] += time.time() - tst
+        log.info("  traverse+scaffold: %.1fs", time.time() - tst)
         per_part_scaffolds.append(scaffolds)
         log_memory(f"part {p + 1}")   # reference: ps euf >> mem.txt
         if checkpoint is not None:

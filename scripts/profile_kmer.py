@@ -54,8 +54,53 @@ def synth(n_pairs, glen, L=100, insert=500, seed=0):
 def main():
     n_pairs = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
     glen = int(sys.argv[2]) if len(sys.argv) > 2 else 4_600_000
+    with_contigs = len(sys.argv) > 3 and sys.argv[3] == "contigs"
     target, reads, pa = synth(n_pairs, glen)
     g = GraphTensors.create(target)
+    if with_contigs:
+        # realistic anchor density: a contig layer covering most of the
+        # genome (every position gets 1 ContiMer -> 4x candidate rows)
+        from aligngraph_tpu.align.types import ContigAlignments
+        from aligngraph_tpu.graph.contig_layer import build_contig_layer
+        from aligngraph_tpu.io.formalize import Contigs
+        rng = np.random.default_rng(1)
+        seqs, rows = [], dict(chunk_id=[], fr=[], score=[],
+                              source_start=[], source_end=[],
+                              source_gap=[], source_size=[],
+                              target_start=[], target_end=[],
+                              target_gap=[])
+        maps = []
+        pos = 0
+        while pos + 25_000 < glen:
+            ln = int(rng.integers(12_000, 28_000))
+            seqs.append(target[pos:pos + ln])
+            cid = len(seqs) - 1
+            rows["chunk_id"].append(cid)
+            rows["fr"].append(0)
+            rows["score"].append(2 * ln)
+            rows["source_start"].append(0)
+            rows["source_end"].append(ln)
+            rows["source_gap"].append(0)
+            rows["source_size"].append(ln)
+            rows["target_start"].append(pos)
+            rows["target_end"].append(pos + ln)
+            rows["target_gap"].append(0)
+            maps.append(np.arange(pos, pos + ln, dtype=np.int32))
+            pos += ln + int(rng.integers(1000, 3000))
+        contigs = Contigs(
+            ids=[f"c{i}" for i in range(len(seqs))],
+            seqs=[np.asarray(s) for s in seqs],
+            chaff_ids=[], chaff_seqs=[],
+            chunk_real=np.arange(len(seqs)),
+            chunk_start=np.zeros(len(seqs), np.int64),
+            chunk_len=np.array([len(s) for s in seqs], np.int64))
+        cali = ContigAlignments(
+            **{k: np.asarray(v) for k, v in rows.items()},
+            pos_map=maps)
+        t0 = time.time()
+        build_contig_layer(g, contigs, cali)
+        print(f"contig layer: {time.time()-t0:.1f}s "
+              f"(cm occupancy {float((g.cm_cnt > 0).mean()):.2f})")
     t0 = time.time()
     pr = cProfile.Profile()
     pr.enable()
@@ -66,6 +111,13 @@ def main():
           f"groups={st.groups}")
     pstats.Stats(pr).sort_stats("tottime").print_stats(15)
 
+    from aligngraph_tpu.graph.traverse import extend_and_scaffold
+    t0 = time.time()
+    scaffolds, pre = extend_and_scaffold(g, 3, 5)
+    print(f"extend_and_scaffold: {time.time()-t0:.1f}s "
+          f"({len(scaffolds)} scaffolds, {len(pre)} pre)")
+
 
 if __name__ == "__main__":
     main()
+

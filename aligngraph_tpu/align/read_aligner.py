@@ -221,6 +221,10 @@ class ReadAligner:
         # production batch shape
         n_ = max(reads.n_pairs, 1)
         P = min(self.batch_pairs, max(1024, 1 << (n_ - 1).bit_length()))
+        # the packed transfer layout needs P % 128 == 0 (M = 3P/2 and
+        # E = P/2 word-packing, Pallas lane tiles); round up — batch_pairs
+        # is a memory cap, not an exact size
+        P = -(-P // 128) * 128
         L = max(reads.max_len, cfg.seed_len)
         if L > 32767 - 2 * cfg.band_pad:
             # packed transfer fields (seg1/ovf_src/ovf_dt/ovf_sz/score)

@@ -56,7 +56,7 @@ class SeedIndex:
     then one table gather + a short binary search inside the bucket
     (search_steps = log2 of the largest bucket) instead of a full-depth
     searchsorted over all k-mers.  The prefix width adapts to the genome
-    (~4 table slots per k-mer, capped at 24 bits / 64MB)."""
+    (~4 table slots per k-mer, capped at 26 bits / 256MB)."""
     seed_len: int
     genome_len: int
     sorted_kmers_np: np.ndarray    # [M] int32 canonical, ascending

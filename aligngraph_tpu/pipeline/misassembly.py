@@ -35,6 +35,10 @@ from aligngraph_tpu.io.fasta import decode, write_fasta
 from aligngraph_tpu.io.formalize import Contigs, Reads, formalize_contigs
 
 SEP_N = 64
+# Per-group cap on the concatenated contig axis for device span coverage:
+# bounds the O(axis) delta vector and keeps int32 coordinates exact
+# (patchable in tests to force multi-group splitting).
+_COV_CHUNK = 1 << 28
 NONE = -1
 
 
@@ -98,12 +102,29 @@ def _coverage_from_reads(reads: Reads, contigs: Contigs, cfg: Config):
     if len(starts2) and G:
         import jax.numpy as jnp
         from aligngraph_tpu.parallel.coverage import span_coverage
-        covax = np.asarray(span_coverage(
-            jnp.asarray(starts2.astype(np.int32)),
-            jnp.asarray(ends2.astype(np.int32)), G=G))
-        for r in range(contigs.n_real):
-            o = int(real_offs[r])
-            cov[r] += covax[o:o + len(cov[r])]
+        # Chunk the concatenated axis so int32 coordinates cannot wrap and
+        # the O(axis) device delta vector stays bounded (<=1 GB int32).
+        # Groups split on whole-contig boundaries; spans never cross a real
+        # contig, so per-group accumulation is exact.
+        CHUNK = _COV_CHUNK
+        r0 = 0
+        while r0 < contigs.n_real:
+            r1 = r0 + 1
+            while (r1 < contigs.n_real
+                   and real_offs[r1 + 1] - real_offs[r0] <= CHUNK):
+                r1 += 1
+            base = int(real_offs[r0])
+            g = int(real_offs[r1]) - base
+            m = (starts2 >= base) & (starts2 < base + g)
+            if m.any() and g:
+                covax = np.asarray(span_coverage(
+                    jnp.asarray((starts2[m] - base).astype(np.int32)),
+                    jnp.asarray((np.minimum(ends2[m], base + g)
+                                 - base).astype(np.int32)), G=g))
+                for r in range(r0, r1):
+                    o = int(real_offs[r]) - base
+                    cov[r] += covax[o:o + len(cov[r])]
+            r0 = r1
     return cov
 
 

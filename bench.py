@@ -41,7 +41,10 @@ BOWTIE2_8T_BASELINE = 1.0e5   # reads/s, see module docstring
 
 
 def make_workload(genome_len=4_600_000, n_pairs=100_000, read_len=100,
-                  insert=500, snp=0.01, seed=0):
+                  insert=500, snp=0.01, seed=0, return_target=False):
+    """Synthetic PE workload. With return_target=True also returns the
+    true (unmutated) genome the reads were drawn from, so consumers that
+    cut contigs from it (bench_pipeline) don't have to replay the RNG."""
     rng = np.random.default_rng(seed)
     target = rng.integers(0, 4, genome_len).astype(np.int8)
     ref = target.copy()
@@ -63,6 +66,8 @@ def make_workload(genome_len=4_600_000, n_pairs=100_000, read_len=100,
     data[0::2] = r1
     data[1::2] = r2
     lens = np.full(n_pairs, read_len, np.int32)
+    if return_target:
+        return ref, data, lens, target
     return ref, data, lens
 
 

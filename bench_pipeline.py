@@ -42,9 +42,9 @@ def main():
 
     warm_heap(1 << 30)
     rng = np.random.default_rng(7)
-    ref, data, lens = make_workload(genome_len=glen, n_pairs=n_pairs,
-                                    seed=7)
-    target = np.random.default_rng(7).integers(0, 4, glen).astype(np.int8)
+    ref, data, lens, target = make_workload(genome_len=glen,
+                                            n_pairs=n_pairs, seed=7,
+                                            return_target=True)
     reads = Reads(n_pairs, data.shape[1], data, lens)
 
     contig_seqs, pos = [], 0

@@ -75,3 +75,31 @@ def test_remaining_gets_chaff(tmp_path):
         chaff=(["tiny"], [b"ACGT" * 20]))
     ids, seqs = read_fasta(out)
     assert "tiny" in ids
+
+def test_coverage_chunked_groups(tmp_path, monkeypatch):
+    """The chunked span-coverage path (int32-overflow guard) must produce
+    the same splits when the contig axis is forced into many tiny groups."""
+    import aligngraph_tpu.pipeline.misassembly as mm
+    rng = np.random.default_rng(0)
+    genome = rng.integers(0, 4, 40_000).astype(np.int8)
+    chimera = np.concatenate([genome[2000:6000],
+                              rng.integers(0, 4, 400).astype(np.int8),
+                              genome[20_000:24_000]])
+    pieces = [chimera, genome[9000:12_000], genome[25_000:29_000]]
+    write_fasta(tmp_path / "out.fa", [f"c{i}" for i in range(len(pieces))],
+                [decode(p) for p in pieces])
+    r1, r2, _ = simulate_reads(rng, genome, 3000, read_len=80, insert=400,
+                               err_rate=0.0)
+    reads = make_reads_obj(r1, r2)
+    cfg = Config(distance_low=100, distance_high=700, coverage=3)
+    out1 = remove_misassembly(str(tmp_path / "out.fa"), cfg, genome, reads,
+                              which="extended")
+    base = read_fasta(out1)
+    # force every real contig into its own coverage group
+    monkeypatch.setattr(mm, "_COV_CHUNK", 3000)
+    write_fasta(tmp_path / "out2.fa", [f"c{i}" for i in range(len(pieces))],
+                [decode(p) for p in pieces])
+    out2 = remove_misassembly(str(tmp_path / "out2.fa"), cfg, genome, reads,
+                              which="extended")
+    assert read_fasta(out2) == base
+    assert base[0][0].startswith("c0 : part")   # chimera was split

@@ -216,15 +216,6 @@ class ReadAligner:
         capacity (extreme multi-mapping), it transparently re-runs through
         the full-layout path."""
         cfg = self.cfg
-        # batch_pairs is a cap: small inputs use the next power of two so
-        # tiny runs (tests, small genomes) don't pad to the full 32k-pair
-        # production batch shape
-        n_ = max(reads.n_pairs, 1)
-        P = min(self.batch_pairs, max(1024, 1 << (n_ - 1).bit_length()))
-        # the packed transfer layout needs P % 128 == 0 (M = 3P/2 and
-        # E = P/2 word-packing, Pallas lane tiles); round up — batch_pairs
-        # is a memory cap, not an exact size
-        P = -(-P // 128) * 128
         L = max(reads.max_len, cfg.seed_len)
         if L > 32767 - 2 * cfg.band_pad:
             # packed transfer fields (seg1/ovf_src/ovf_dt/ovf_sz/score)
@@ -235,8 +226,19 @@ class ReadAligner:
                 f"queries belong to the contig aligner")
         n = reads.n_pairs
         pending = []
-        for start in range(0, max(n, 1), P):
-            cnt = min(P, n - start) if n else 0
+        for start in range(0, max(n, 1), self.batch_pairs):
+            cnt = min(self.batch_pairs, n - start) if n else 0
+            # per-batch adaptive shape: batch_pairs is a memory CAP, not an
+            # exact size.  Small inputs and the tail batch of a large input
+            # use the next power of two (>= 1024) so a 1.7k-pair tail does
+            # not burn a full 32k-pair device program (at 100k pairs that
+            # padding was 25% of the benchmark's device time).  Shapes stay
+            # power-of-two so at most log2 distinct programs ever compile.
+            # The packed transfer layout needs P % 128 == 0 (M = 3P/2 and
+            # E = P/2 word-packing, Pallas lane tiles).
+            P = min(self.batch_pairs,
+                    max(1024, 1 << (max(cnt, 1) - 1).bit_length()))
+            P = -(-P // 128) * 128
             seqs = np.full((2 * P, L), 4, np.int8)
             plens = np.zeros(P, np.int32)
             if cnt > 0:
@@ -258,9 +260,16 @@ class ReadAligner:
                 dhigh=cfg.distance_high,
                 bsteps=self.index.search_steps,
                 sbits=self.index.suffix_bits, c13=self.c13)
-            pending.append((start, cnt, dev, seqs, plens))
+            # start the device->host copy as soon as compute finishes so
+            # the ~30 ms/buffer tunnel latency overlaps later batches'
+            # device work instead of serializing in the fetch loop
+            try:
+                dev.copy_to_host_async()
+            except AttributeError:
+                pass
+            pending.append((start, cnt, P, dev, seqs, plens))
         out_chunks = []
-        for start, cnt, dev, seqs, plens in pending:
+        for start, cnt, P, dev, seqs, plens in pending:
             res = unpack_records(np.asarray(dev), P)
             if (int(res["n_valid"]) > res["slot_id"].shape[0]
                     or int(res["n_ovf"]) > res["ovf_slot"].shape[0]):

@@ -44,6 +44,18 @@ class PairAlignments:
     def n(self) -> int:
         return int(self.pair_id.shape[0])
 
+    @classmethod
+    def empty(cls, read_len: int) -> "PairAlignments":
+        """Zero-record table with well-formed shapes (pos_map [0, 2, L])."""
+        z = np.zeros((0, 2), np.int32)
+        return cls(pair_id=np.zeros(0, np.int32),
+                   fr=np.zeros((0, 2), np.int8), score=z.copy(),
+                   source_start=z.copy(), source_end=z.copy(),
+                   source_gap=z.copy(), source_size=z.copy(),
+                   target_start=z.copy(), target_end=z.copy(),
+                   target_gap=z.copy(),
+                   pos_map=np.zeros((0, 2, read_len), np.int32))
+
     def ratio_ok(self, threshold: float) -> np.ndarray:
         """The reference's read filter (C13, AlignGraph.cpp:1261):
         both mates: (se-ss-I)/size >= t and (te-ts-D)/(te-ts) >= t."""

@@ -118,25 +118,39 @@ def normalize_records(pairs: PairAlignments, reads: Reads, k: int,
         seqs[:, mate] = np.where(pairs.fr[:, mate, None] == 1,
                                  rc_shifted, raw[:, :L])
 
-    # duplicate-placement skip per pair (reference :1650-1655)
+    # duplicate-placement skip per pair (reference :1650-1655): a record is
+    # dropped when ANY earlier record of the same pair (dropped or not —
+    # the reference appends unconditionally) has |int32(b - pb)| < len.
+    # Vectorized over (pair-group, rank): groups are the stable pair_id
+    # sort runs, ranks are bounded by the aligner's -k cap, so a dense
+    # [n_groups, max_rank] compare grid replaces the per-record loop.
     keep = np.ones(M, bool)
-    base0 = np.where(p[:, 0, 0] >= 0, p[:, 0, 0],
-                     0xFFFFFFFF).astype(np.uint64)
-    order = np.argsort(pairs.pair_id, kind="stable")
-    by_pair: dict = {}
-    for idx_ in order:
-        pid = int(pairs.pair_id[idx_])
-        prior = by_pair.setdefault(pid, [])
-        b = int(base0[idx_])
-        ln = int(lens[idx_])
-        for pb in prior:
-            d = (b - pb) & 0xFFFFFFFF
-            if d >= 2**31:
-                d -= 2**32
-            if abs(d) < ln:
-                keep[idx_] = False
-                break
-        prior.append(b)
+    if M:
+        base0 = np.where(p[:, 0, 0] >= 0, p[:, 0, 0],
+                         0xFFFFFFFF).astype(np.int64)
+        order = np.argsort(pairs.pair_id, kind="stable")
+        pid_s = pairs.pair_id[order]
+        newg = np.ones(M, bool)
+        newg[1:] = pid_s[1:] != pid_s[:-1]
+        starts = np.nonzero(newg)[0]
+        runlen = np.diff(np.concatenate([starts, [M]]))
+        rank = np.arange(M) - np.repeat(starts, runlen)
+        Rk = int(rank.max()) + 1
+        ngrp = len(starts)
+        gid = np.cumsum(newg) - 1
+        b_d = np.zeros((ngrp, Rk), np.int64)
+        l_d = np.zeros((ngrp, Rk), np.int64)
+        b_d[gid, rank] = base0[order]
+        l_d[gid, rank] = lens[order]
+        drop_d = np.zeros((ngrp, Rk), bool)
+        for r in range(1, Rk):
+            d = (b_d[:, r:r + 1] - b_d[:, :r]) & 0xFFFFFFFF
+            d[d >= 2**31] -= 2**32
+            # ranks j < r always exist when rank r does (contiguous runs),
+            # so no existence mask is needed
+            hit = np.abs(d) < l_d[:, r:r + 1]
+            drop_d[:, r] = hit.any(axis=1)
+        keep[order] = ~drop_d[gid, rank]
 
     # orientation validity: exactly one fr (pairing guarantees it)
     keep &= pairs.fr[:, 0] != pairs.fr[:, 1]

@@ -155,9 +155,16 @@ def run_pipeline(cfg: Config,
                 r.target_end += np.where(r.target_end >= 0, off, 0)
                 r.pos_map += np.where(r.pos_map >= 0, off, 0)
                 parts.append(r)
-            rali = PairAlignments(**{
-                f.name: np.concatenate([getattr(r, f.name) for r in parts])
-                for f in dataclasses.fields(PairAlignments)})
+            if parts:
+                rali = PairAlignments(**{
+                    f.name: np.concatenate(
+                        [getattr(r, f.name) for r in parts])
+                    for f in dataclasses.fields(PairAlignments)})
+            else:
+                # every part shorter than the seed length: no read can
+                # align anywhere (degenerate input; previously crashed on
+                # np.concatenate of an empty list)
+                rali = PairAlignments.empty(max(reads.max_len, 1))
             c_aligner = ContigAligner(gseq, cfg)
             cali = c_aligner.align(contigs)
         else:

@@ -98,6 +98,27 @@ def test_pipeline_iterative_map(sim_files):
     assert len(res.extended_ids) >= 1
 
 
+def test_pipeline_iterative_map_degenerate_parts(tmp_path):
+    """--iterativeMap where every genome part is shorter than the seed
+    length: nothing can align, and the pipeline must finish with empty
+    extended output instead of crashing on an empty part list
+    (regression: np.concatenate([]) in the driver's iterativeMap branch)."""
+    rng = np.random.default_rng(3)
+    genome = rng.integers(0, 4, 20).astype(np.int8)
+    contig = rng.integers(0, 4, 300).astype(np.int8)
+    reads = [rng.integers(0, 4, 100).astype(np.int8) for _ in range(4)]
+    write_fasta(tmp_path / "genome.fa", ["chr"], [decode(genome)])
+    write_fasta(tmp_path / "contigs.fa", ["c0"], [decode(contig)])
+    write_fasta(tmp_path / "r1.fa", ["p0", "p1"],
+                [decode(r) for r in reads[:2]])
+    write_fasta(tmp_path / "r2.fa", ["p0", "p1"],
+                [decode(r) for r in reads[2:]])
+    cfg = make_cfg(tmp_path, part=2, iterative_map=True)
+    res = run_pipeline(cfg)
+    assert res.extended_ids == []
+    assert res.stats["n_parts"] == 2
+
+
 def test_pipeline_resume(sim_files):
     d, sim = sim_files
     wd = str(d / "tmp_resume")

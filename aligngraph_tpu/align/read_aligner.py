@@ -268,11 +268,18 @@ class ReadAligner:
             except AttributeError:
                 pass
             pending.append((start, cnt, P, dev, seqs, plens))
+        dense = L <= 255 and cfg.distance_high <= 32000
         out_chunks = []
         for start, cnt, P, dev, seqs, plens in pending:
-            res = unpack_records(np.asarray(dev), P)
-            if (int(res["n_valid"]) > res["slot_id"].shape[0]
-                    or int(res["n_ovf"]) > res["ovf_slot"].shape[0]):
+            if dense:
+                res = unpack_dense(np.asarray(dev), P)
+                overflow = (res["n_extras"] > res["ex_id"].shape[0]
+                            or res["n_ovf"] > res["ov_id"].shape[0])
+            else:
+                res = unpack_records(np.asarray(dev), P)
+                overflow = (int(res["n_valid"]) > res["slot_id"].shape[0]
+                            or int(res["n_ovf"]) > res["ovf_slot"].shape[0])
+            if overflow:
                 # compaction overflow (pathological multi-mapping or
                 # ultra-gappy batch): re-run through the uncompacted path
                 full = _align_pairs_device(
@@ -287,8 +294,13 @@ class ReadAligner:
                     sbits=self.index.suffix_bits)
                 full = jax.tree_util.tree_map(np.asarray, full)
                 if self.c13:
-                    full["valid"] &= np.asarray(_c13_mask_np(full))
+                    # np.asarray views of jax arrays are read-only
+                    full["valid"] = full["valid"] & np.asarray(
+                        _c13_mask_np(full))
                 out_chunks.append(_expand_full(full, start, cnt, L))
+            elif dense:
+                out_chunks.append(
+                    _expand_dense(res, start, cnt, L, plens))
             else:
                 out_chunks.append(
                     _expand_packed(res, start, cnt, L, plens))
@@ -550,6 +562,154 @@ def _c13_mask_np(out: dict) -> np.ndarray:
     return ok.all(axis=-1)
 
 
+def _pack_dense(out, P: int, K: int):
+    """Dense-per-pair transfer serialization (the common case).
+
+    Most pairs report exactly ONE hit with a single M-block per mate, so a
+    [P]-dense primary record plus small sparse overflow buffers is ~2.6x
+    smaller than the per-slot layout (the device->host tunnel on this
+    machine moves ~10 MB/s and does NOT overlap compute, so transfer bytes
+    are wall time).  Requires (checked statically by the caller):
+    L <= 255 (8-bit ss/sz) and distance_high <= 32000 (int16 mate-1
+    tgt delta; |tgt1 - tgt0| <= fragment <= distance_high).
+
+    Word layout (P % 128 == 0; E2 = E3 = max(P//16, 128)):
+      [0] n_extras  [1] n_ovf
+      [2, 2+P/4)  meta u8 x4:  has | frp<<1 | segovf<<3
+      [+P)        score  [P,2] int16 x2
+      [+P)        tgt0   [P]   int32 (mate-0 tgt_start)
+      [+P/2)      dt     [P]   int16 x2 (tgt1 - tgt0)
+      [+P)        seg    [P]   (ss0, sz0, ss1, sz1) u8 x4
+      extras (valid hits beyond the first per pair):
+      [+E2)       ex_id   int32: (p*K + k) | segovf<<30, -1 empty
+      [+E2/4)     ex_frp  u8 x4
+      [+E2)       ex_score int16 x2
+      [+2*E2)     ex_tgt  [E2, 2] int32
+      [+E2)       ex_seg  (ss0, sz0, ss1, sz1) u8 x4
+      segment-overflow entries (M-blocks beyond the first, any valid hit):
+      [+E3)       ov_id   int32: (p*K + k)*16 + mate*8 + seg, -1 empty
+      [+E3/2)     ov_ss   (src u8, sz u8) x2
+      [+E3/2)     ov_dt   int16 x2 (tgt - hit tgt_base of that mate)
+    """
+    valid = out["valid"]                          # [P, K] bool
+    segs = out["segs"]                            # [P, K, 2, S, 3] int32
+    tgt = out["tgt_start"]                        # [P, K, 2]
+    bc = partial(jax.lax.bitcast_convert_type, new_dtype=jnp.int32)
+    E2 = max(P // 8, 256)
+    E3 = max(P // 4, 256)
+    S = MAXSEG
+    karange = jnp.arange(K, dtype=jnp.int32)
+
+    has = valid.any(axis=1)
+    k0 = jnp.argmax(valid, axis=1).astype(jnp.int32)
+
+    def prim(a):
+        return jnp.take_along_axis(
+            a, k0.reshape((P, 1) + (1,) * (a.ndim - 2)), axis=1)[:, 0]
+
+    p_fr = prim(out["fr"])                        # [P, 2] int8
+    p_score = prim(out["score"])                  # [P, 2] i32
+    p_tgt = prim(tgt)                             # [P, 2]
+    p_segs = prim(segs)                           # [P, 2, S, 3]
+    p_ovf = jnp.any(p_segs[:, :, 1:, 2] > 0, axis=(1, 2)) & has
+    frp = (p_fr[:, 0] | (p_fr[:, 1] << 1)).astype(jnp.int32)
+    # meta byte: bit0 has, bits1-2 frp, bit3 segovf, bits4-6 primary k
+    meta = jnp.where(
+        has, 1 | (frp << 1) | (p_ovf.astype(jnp.int32) << 3) | (k0 << 4),
+        0)
+    sc16 = jnp.where(has[:, None], p_score, 0).astype(jnp.int16)
+    tgt0 = jnp.where(has, p_tgt[:, 0], -1)
+    dt16 = jnp.where(has, p_tgt[:, 1] - p_tgt[:, 0], 0).astype(jnp.int16)
+    ss0 = jnp.where(has[:, None] & (p_segs[:, :, 0, 2] > 0),
+                    p_segs[:, :, 0, 0], 0)
+    sz0 = jnp.where(has[:, None], p_segs[:, :, 0, 2], 0)
+    sz0 = jnp.maximum(sz0, 0)
+    seg8 = jnp.stack([ss0[:, 0], sz0[:, 0], ss0[:, 1], sz0[:, 1]],
+                     axis=-1).astype(jnp.uint8)
+
+    # extras: valid slots beyond the first, compacted in (p, k) order
+    mask_e = valid & (karange[None, :] != k0[:, None])
+    ef = mask_e.reshape(P * K)
+    eorder = jnp.argsort(~ef, stable=True)[:E2]
+    evalid = ef[eorder]
+    e_p = (eorder // K).astype(jnp.int32)
+    e_k = (eorder % K).astype(jnp.int32)
+    e_segs = segs[e_p, e_k]                       # [E2, 2, S, 3]
+    e_ovf = jnp.any(e_segs[:, :, 1:, 2] > 0, axis=(1, 2))
+    ex_id = jnp.where(evalid,
+                      (e_p * K + e_k) | (e_ovf.astype(jnp.int32) << 30), -1)
+    e_fr = out["fr"][e_p, e_k]
+    ex_frp = jnp.where(evalid, (e_fr[:, 0] | (e_fr[:, 1] << 1))
+                       .astype(jnp.int32), 0).astype(jnp.uint8)
+    ex_sc = jnp.where(evalid[:, None], out["score"][e_p, e_k],
+                      0).astype(jnp.int16)
+    ex_tgt = jnp.where(evalid[:, None], tgt[e_p, e_k], -1)
+    exs = jnp.where(evalid[:, None] & (e_segs[:, :, 0, 2] > 0),
+                    e_segs[:, :, 0, 0], 0)
+    exz = jnp.maximum(jnp.where(evalid[:, None], e_segs[:, :, 0, 2], 0), 0)
+    ex_seg = jnp.stack([exs[:, 0], exz[:, 0], exs[:, 1], exz[:, 1]],
+                       axis=-1).astype(jnp.uint8)
+
+    # segment-overflow entries over ALL valid hits
+    ov_mask = valid[:, :, None, None] & (segs[:, :, :, 1:, 2] > 0)
+    of = ov_mask.reshape(P * K * 2 * (S - 1))
+    oorder = jnp.argsort(~of, stable=True)[:E3]
+    ovalid = of[oorder]
+    o_pk = (oorder // (2 * (S - 1))).astype(jnp.int32)
+    rem = oorder % (2 * (S - 1))
+    o_m = (rem // (S - 1)).astype(jnp.int32)
+    o_s = (rem % (S - 1)).astype(jnp.int32) + 1
+    o_p, o_k = o_pk // K, o_pk % K
+    ov_id = jnp.where(ovalid, o_pk * 16 + o_m * 8 + o_s, -1)
+    o_row = segs[o_p, o_k, o_m, o_s]              # [E3, 3]
+    ov_src = jnp.where(ovalid, o_row[:, 0], 0).astype(jnp.uint8)
+    ov_sz = jnp.where(ovalid, o_row[:, 2], 0).astype(jnp.uint8)
+    ov_dt = jnp.where(ovalid, o_row[:, 1] - tgt[o_p, o_k, o_m],
+                      0).astype(jnp.int16)
+
+    return jnp.concatenate([
+        jnp.stack([jnp.sum(ef.astype(jnp.int32)),
+                   jnp.sum(of.astype(jnp.int32))]),
+        bc(meta.astype(jnp.uint8).reshape(P // 4, 4)),
+        bc(sc16),
+        tgt0,
+        bc(dt16.reshape(P // 2, 2)),
+        bc(seg8),
+        ex_id,
+        bc(ex_frp.reshape(E2 // 4, 4)),
+        bc(ex_sc),
+        ex_tgt.reshape(2 * E2),
+        bc(ex_seg),
+        ov_id,
+        bc(jnp.stack([ov_src, ov_sz], axis=-1).reshape(E3 // 2, 4)),
+        bc(ov_dt.reshape(E3 // 2, 2)),
+    ])
+
+
+def unpack_dense(buf: np.ndarray, P: int) -> dict:
+    """Host decode of the _pack_dense buffer (zero-copy views)."""
+    E2 = max(P // 8, 256)
+    E3 = max(P // 4, 256)
+    o = 2
+    out = {"n_extras": int(buf[0]), "n_ovf": int(buf[1]), "dense": True}
+    out["meta"] = buf[o:o + P // 4].view(np.uint8); o += P // 4
+    out["score"] = buf[o:o + P].view(np.int16).reshape(P, 2); o += P
+    out["tgt0"] = buf[o:o + P]; o += P
+    out["dt"] = buf[o:o + P // 2].view(np.int16); o += P // 2
+    out["seg"] = buf[o:o + P].view(np.uint8).reshape(P, 4); o += P
+    out["ex_id"] = buf[o:o + E2]; o += E2
+    out["ex_frp"] = buf[o:o + E2 // 4].view(np.uint8); o += E2 // 4
+    out["ex_score"] = buf[o:o + E2].view(np.int16).reshape(E2, 2); o += E2
+    out["ex_tgt"] = buf[o:o + 2 * E2].reshape(E2, 2); o += 2 * E2
+    out["ex_seg"] = buf[o:o + E2].view(np.uint8).reshape(E2, 4); o += E2
+    out["ov_id"] = buf[o:o + E3]; o += E3
+    out["ov_ss"] = buf[o:o + E3 // 2].view(np.uint8).reshape(E3, 2)
+    o += E3 // 2
+    out["ov_dt"] = buf[o:o + E3 // 2].view(np.int16); o += E3 // 2
+    assert o == buf.shape[0]
+    return out
+
+
 @partial(jax.jit, static_argnames=("L", "seed_len", "stride", "pad", "C",
                                    "K", "dlow", "dhigh", "bsteps", "sbits",
                                    "c13"))
@@ -583,6 +743,10 @@ def _align_pairs_packed(genome, sorted_kmers, sorted_posflip, bucket_lo, u2,
         out["valid"] = out["valid"] & jnp.all(ok, axis=-1)
 
     P = out["valid"].shape[0]
+    if L <= 255 and dhigh <= 32000:
+        # dense-per-pair serialization (statically safe: 8-bit ss/sz,
+        # int16 tgt delta bounded by the fragment window)
+        return _pack_dense(out, P, K)
     M = (3 * P) // 2
     S = MAXSEG
     valid_f = out["valid"].reshape(P * K)
@@ -651,6 +815,114 @@ def _align_pairs_packed(genome, sorted_kmers, sorted_posflip, bucket_lo, u2,
         bc(jnp.where(evalid, e_sz, jnp.int16(-1)).reshape(E // 2, 2)),
     ])
     return buf
+
+
+def _expand_dense(res: dict, start: int, cnt: int, L: int,
+                  plens: np.ndarray) -> dict:
+    """Host extraction from the dense-per-pair transfer format.
+
+    Recomputes the parse quantities with the exact integer formulas of
+    _candidate_stats (bit-equal to the full path, tested)."""
+    K = MAX_PAIR_HITS
+    meta = res["meta"]
+    has = (meta & 1) == 1
+    has[cnt:] = False
+    p1 = np.nonzero(has)[0]
+    k0 = (meta[p1].astype(np.int64) >> 4) & 7
+    n1 = len(p1)
+
+    exm = res["ex_id"] >= 0
+    ex_id = res["ex_id"][exm].astype(np.int64)
+    ex_pk = ex_id & ((1 << 30) - 1)
+    ex_sel = np.nonzero(exm)[0]
+    keep = (ex_pk // K) < max(cnt, 0)
+    ex_sel, ex_pk = ex_sel[keep], ex_pk[keep]
+    n2 = len(ex_sel)
+
+    # record table in ascending (pair, k) order: primary first (its k is
+    # the lowest valid k of the pair), then extras in flat (p, k) order
+    keys = np.concatenate([p1 * K + k0, ex_pk])
+    order = np.argsort(keys, kind="stable")
+    n = n1 + n2
+    pair = np.concatenate([p1, ex_pk // K])[order]
+    pk_of = keys[order]
+    frp_all = np.concatenate([
+        (meta[p1].astype(np.int8) >> 1) & 3,
+        res["ex_frp"][ex_sel].astype(np.int8) & 3])[order]
+    fr = np.stack([frp_all & 1, (frp_all >> 1) & 1], axis=-1).astype(np.int8)
+    score = np.concatenate([
+        res["score"][p1], res["ex_score"][ex_sel]])[order].astype(np.int32)
+    tgt0_p = res["tgt0"][p1]
+    tgt_base = np.concatenate([
+        np.stack([tgt0_p, tgt0_p + res["dt"][p1]], axis=-1),
+        res["ex_tgt"][ex_sel]])[order].astype(np.int32)
+    seg8 = np.concatenate([res["seg"][p1],
+                           res["ex_seg"][ex_sel]])[order].astype(np.int32)
+    seg1 = seg8.reshape(n, 2, 2)                       # (ss, sz) per mate
+
+    # full segment table from seg1 + overflow entries
+    segs = np.full((n, 2, MAXSEG, 3), -1, np.int32)
+    segs[:, :, 0, 0] = seg1[..., 0]
+    segs[:, :, 0, 1] = np.where(seg1[..., 1] > 0, tgt_base, -1)
+    segs[:, :, 0, 2] = np.where(seg1[..., 1] > 0, seg1[..., 1], -1)
+    row_of = np.full(res["meta"].shape[0] * K, -1, np.int64)
+    row_of[pk_of] = np.arange(n)
+    om = res["ov_id"] >= 0
+    orow = np.zeros(0, np.int64)
+    if om.any():
+        ov_id = res["ov_id"][om].astype(np.int64)
+        ov_sel = np.nonzero(om)[0]
+        opk, orem = ov_id // 16, ov_id % 16
+        orow = row_of[opk]
+        ok_ = orow >= 0
+        orow, orem, ov_sel = orow[ok_], orem[ok_], ov_sel[ok_]
+        omate, oseg = orem // 8, orem % 8
+        osrc = res["ov_ss"][ov_sel, 0].astype(np.int32)
+        osz = res["ov_ss"][ov_sel, 1].astype(np.int32)
+        odt = res["ov_dt"][ov_sel].astype(np.int32)
+        segs[orow, omate, oseg, 0] = osrc
+        segs[orow, omate, oseg, 1] = tgt_base[orow, omate] + odt
+        segs[orow, omate, oseg, 2] = osz
+
+    # pos_map: vectorized first segment + sparse overflow fills
+    pm = np.full((n, 2, L), -1, np.int32)
+    i_idx = np.arange(L, dtype=np.int32)
+    ss0 = seg1[..., 0:1]
+    sz0 = seg1[..., 1:2]
+    m0 = (sz0 > 0) & (i_idx >= ss0) & (i_idx < ss0 + sz0)
+    np.copyto(pm, tgt_base[..., None] + (i_idx - ss0), where=m0)
+    for e in range(len(orow)):
+        r_, m_ = orow[e], omate[e]
+        src, szv = int(osrc[e]), int(osz[e])
+        tgt = int(tgt_base[r_, m_]) + int(odt[e])
+        pm[r_, m_, src:src + szv] = tgt + np.arange(szv, dtype=np.int32)
+
+    sz = np.where(segs[..., 2] > 0, segs[..., 2], 0)
+    match = sz.sum(axis=-1)
+    nseg = np.maximum((sz > 0).sum(axis=-1), 1)
+    last = (nseg - 1)[..., None]
+    ss = segs[..., 0, 0]
+    src_last = np.take_along_axis(segs[..., 0], last, axis=-1)[..., 0]
+    sz_last = np.take_along_axis(sz, last, axis=-1)[..., 0]
+    se = src_last + sz_last
+    ins = (se - ss) - match
+    tea = np.take_along_axis(segs[..., 1], last, axis=-1)[..., 0] + sz_last
+    dele = (tea - tgt_base) - match
+    qlen = plens[pair][:, None].astype(np.int32)
+    te_ref = tgt_base + qlen + dele - ins
+    return dict(
+        pair_id=(pair + start).astype(np.int32),
+        fr=fr,
+        score=score,
+        source_start=ss.astype(np.int32),
+        source_end=se.astype(np.int32),
+        source_gap=ins.astype(np.int32),
+        source_size=np.broadcast_to(qlen, ins.shape).copy(),
+        target_start=tgt_base,
+        target_end=te_ref.astype(np.int32),
+        target_gap=dele.astype(np.int32),
+        pos_map=pm,
+    )
 
 
 def unpack_records(buf: np.ndarray, P: int) -> dict:

@@ -150,6 +150,51 @@ def test_compact_transfer_equals_full():
                                       err_msg=field)
 
 
+def test_general_packed_transfer_equals_full():
+    """The per-slot (general) transfer format — used when distance_high
+    exceeds the dense format's int16 delta range — must also reproduce the
+    full-layout extraction bit-for-bit."""
+    import jax.numpy as jnp
+
+    from aligngraph_tpu.align import read_aligner as ra
+
+    sim = make_simdata(seed=11, genome_len=15_000, n_pairs=120,
+                       read_len=90, insert=450, snp_rate=0.01)
+    reads = make_reads(sim)
+    cfg = Config(distance_low=0, distance_high=40_000)   # > 32000: general
+    al = ReadAligner.build(sim.reference, cfg, batch_pairs=64, c13=False)
+    res = al.align(reads)
+
+    P = al.batch_pairs
+    L = max(reads.max_len, cfg.seed_len)
+    chunks = []
+    for start in range(0, reads.n_pairs, P):
+        cnt = min(P, reads.n_pairs - start)
+        seqs = np.full((2 * P, L), 4, np.int8)
+        plens = np.zeros(P, np.int32)
+        blk = reads.data[2 * start:2 * (start + cnt)]
+        seqs[:2 * cnt, :blk.shape[1]] = blk
+        plens[:cnt] = reads.lengths[start:start + cnt]
+        full = ra._align_pairs_device(
+            al.genome, al.index.sorted_kmers, al.index.sorted_posflip,
+            al.index.bucket_lo,
+            jnp.asarray(seqs), jnp.asarray(plens), seed_len=cfg.seed_len,
+            stride=cfg.seed_stride, pad=cfg.band_pad,
+            C=cfg.max_candidates, K=ra.MAX_PAIR_HITS,
+            dlow=cfg.distance_low, dhigh=cfg.distance_high,
+            bsteps=al.index.search_steps, sbits=al.index.suffix_bits)
+        full = {k: np.asarray(v) for k, v in full.items()}
+        chunks.append(ra._expand_full(full, start, cnt, L))
+    want = {k: np.concatenate([c[k] for c in chunks]) for k in chunks[0]}
+
+    assert res.n == len(want["pair_id"]) > 50
+    for field in ("pair_id", "fr", "score", "source_start", "source_end",
+                  "source_gap", "source_size", "target_start",
+                  "target_end", "target_gap", "pos_map"):
+        np.testing.assert_array_equal(getattr(res, field), want[field],
+                                      err_msg=field)
+
+
 def test_device_c13_equals_host_filter():
     """align(c13=True) must equal align(c13=False) + the host ratio_ok
     filter (THRESHOLD 0.6) — the device integer 3/5 compare is exact."""

@@ -74,6 +74,13 @@ class Config:
     seed_stride: int = 12            # seed sampling stride along the read
     band_pad: int = 16               # banded-DP half-band beyond seed diagonal
     max_candidates: int = 4          # candidate diagonals per read before DP
+    # k-mer graph build backend: "host" (numpy oracle) or "device" (jitted
+    # build, graph tensors resident on the accelerator; bit-identical
+    # results — tests/test_kmer_jit.py).  Host is the default because on
+    # a PCIe/ICI-attached TPU the device build wins outright, but on this
+    # machine's tunneled chip the final graph d2h transfer (~15 MB/s)
+    # dominates; see BASELINE.md "device graph build" for the numbers.
+    graph_build: str = "host"
     work_dir: str = "tmp"            # checkpoint/artifact dir (ref: tmp/)
     stream_reads: bool = False       # force memmap-backed read matrix
     stream_reads_threshold: int = 1 << 28   # auto-memmap above this size

@@ -232,8 +232,16 @@ def run_pipeline(cfg: Config,
         rmask = ((ts[:, 0] >= lo) & (ts[:, 0] < hi)
                  & (ts[:, 1] >= lo) & (ts[:, 1] < hi))
         part_rali = _subset_pairs(rali, rmask)
-        build_kmer_layer(g, part_rali, reads, cfg.k_mer,
-                         cfg.insert_variation, part_offset=lo, stats=kstats)
+        if cfg.graph_build == "device":
+            from aligngraph_tpu.graph.kmer_layer_jit import \
+                build_kmer_layer_device
+            build_kmer_layer_device(g, part_rali, reads, cfg.k_mer,
+                                    cfg.insert_variation, part_offset=lo,
+                                    stats=kstats)
+        else:
+            build_kmer_layer(g, part_rali, reads, cfg.k_mer,
+                             cfg.insert_variation, part_offset=lo,
+                             stats=kstats)
         stage_s["kmer_build"] += time.time() - tst
         log.info("  kmer build: %.1fs (%d records)",
                  time.time() - tst, part_rali.n)

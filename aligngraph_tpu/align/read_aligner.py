@@ -595,9 +595,11 @@ def _pack_dense(out, P: int, K: int):
     segs = out["segs"]                            # [P, K, 2, S, 3] int32
     tgt = out["tgt_start"]                        # [P, K, 2]
     bc = partial(jax.lax.bitcast_convert_type, new_dtype=jnp.int32)
-    E2 = max(P // 8, 256)
-    E3 = max(P // 4, 256)
     S = MAXSEG
+    # sparse capacities, clamped to the flat source sizes (tiny per-shard
+    # P in the shard_map path would otherwise under-fill the buffers)
+    E2 = max(P // 8, min(256, P * K))
+    E3 = max(P // 4, min(256, P * K * 2 * (S - 1)))
     karange = jnp.arange(K, dtype=jnp.int32)
 
     has = valid.any(axis=1)
@@ -688,8 +690,9 @@ def _pack_dense(out, P: int, K: int):
 
 def unpack_dense(buf: np.ndarray, P: int) -> dict:
     """Host decode of the _pack_dense buffer (zero-copy views)."""
-    E2 = max(P // 8, 256)
-    E3 = max(P // 4, 256)
+    K, S = MAX_PAIR_HITS, MAXSEG
+    E2 = max(P // 8, min(256, P * K))
+    E3 = max(P // 4, min(256, P * K * 2 * (S - 1)))
     o = 2
     out = {"n_extras": int(buf[0]), "n_ovf": int(buf[1]), "dense": True}
     out["meta"] = buf[o:o + P // 4].view(np.uint8); o += P // 4
@@ -712,10 +715,10 @@ def unpack_dense(buf: np.ndarray, P: int) -> dict:
 
 @partial(jax.jit, static_argnames=("L", "seed_len", "stride", "pad", "C",
                                    "K", "dlow", "dhigh", "bsteps", "sbits",
-                                   "c13"))
+                                   "c13", "dense"))
 def _align_pairs_packed(genome, sorted_kmers, sorted_posflip, bucket_lo, u2,
                         nmask, u2r, nmr, plens, *, L, seed_len, stride, pad,
-                        C, K, dlow, dhigh, bsteps, sbits, c13):
+                        C, K, dlow, dhigh, bsteps, sbits, c13, dense=True):
     """Tunnel-optimized batch: 2-bit packed reads (forward AND host-side
     reverse complement) in, first-segment + overflow-buffer records out,
     C13 ratio filter applied on device.
@@ -743,9 +746,10 @@ def _align_pairs_packed(genome, sorted_kmers, sorted_posflip, bucket_lo, u2,
         out["valid"] = out["valid"] & jnp.all(ok, axis=-1)
 
     P = out["valid"].shape[0]
-    if L <= 255 and dhigh <= 32000:
+    if dense and L <= 255 and dhigh <= 32000:
         # dense-per-pair serialization (statically safe: 8-bit ss/sz,
-        # int16 tgt delta bounded by the fragment window)
+        # int16 tgt delta bounded by the fragment window); consumers of
+        # the per-slot layout (the shard_map path) pass dense=False
         return _pack_dense(out, P, K)
     M = (3 * P) // 2
     S = MAXSEG

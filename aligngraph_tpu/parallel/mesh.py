@@ -66,7 +66,7 @@ def make_sharded_aligner(mesh: Mesh, *, L: int, seed_len=_DEF.seed_len,
             genome, sorted_kmers, sorted_posflip, bucket_lo, u2, nmask,
             u2r, nmr, plens, L=L, seed_len=seed_len, stride=stride,
             pad=pad, C=C, K=K, dlow=dlow, dhigh=dhigh, bsteps=bsteps,
-            sbits=sbits, c13=c13)
+            sbits=sbits, c13=c13, dense=False)
         # buf words 0/1 are the shard-local n_valid / n_ovf counters
         return {"buf": buf,
                 "n_valid_total": jax.lax.psum(buf[0], axis)[None],

@@ -345,11 +345,17 @@ def extd_contigs1_dispatch(g: GraphTensors, coverage: int, k: int,
 
 
 def extend_and_scaffold(g: GraphTensors, coverage: int, k: int,
-                        force_python: bool = False):
+                        force_python: bool = False, pre_snapshot=None):
     """C21+C22+C23 composed (reference `extendContigs` + `scaffoldContigs`).
 
-    Returns (scaffold sequences, pre-extended contig list)."""
+    Returns (scaffold sequences, pre-extended contig list).  The
+    reference writes tmp/_pre_extended_contigs DURING pass 1, before the
+    merge pass mutates extended flags / splices suffixes — pass a list
+    as `pre_snapshot` to receive pass-1-state copies for that artifact."""
     pre = extd_contigs1_dispatch(g, coverage, k, force_python=force_python)
+    if pre_snapshot is not None:
+        pre_snapshot.extend(
+            dataclasses.replace(c, seq=bytearray(c.seq)) for c in pre)
     extd_contigs2(pre)
     scaffolds = scaffold_contigs(g, pre)
     return scaffolds, pre

@@ -247,10 +247,14 @@ def run_pipeline(cfg: Config,
                  time.time() - tst, part_rali.n)
 
         tst = time.time()
-        scaffolds, _pre = extend_and_scaffold(g, cfg.coverage, cfg.k_mer)
+        pre_snap: List = []
+        scaffolds, _pre = extend_and_scaffold(g, cfg.coverage, cfg.k_mer,
+                                              pre_snapshot=pre_snap)
         stage_s["traverse"] += time.time() - tst
         log.info("  traverse+scaffold: %.1fs", time.time() - tst)
         per_part_scaffolds.append(scaffolds)
+        _write_stage_files(cfg.work_dir, p, per_part_initials[-1],
+                           pre_snap, scaffolds)
         log_memory(f"part {p + 1}")   # reference: ps euf >> mem.txt
         if checkpoint is not None:
             checkpoint.save_part(p, scaffolds, per_part_initials[-1])
@@ -298,6 +302,56 @@ def run_pipeline(cfg: Config,
     log.info("FINISHED in %.1fs (alignment %.1fs)", out.wall_seconds,
              align_seconds)
     return out
+
+
+def _wrap60(f, seq) -> None:
+    """Reference FASTA body wrapping: newline every 60 bases and after
+    the final base (AlignGraph.cpp:1209-1213 and equivalents)."""
+    s = decode(np.asarray(seq, np.int8))
+    if isinstance(s, bytes):
+        s = s.decode()
+    for i in range(0, len(s), 60):
+        f.write(s[i:i + 60] + "\n")
+
+
+def _write_stage_files(work_dir: str, p: int, initials, pre,
+                       scaffolds) -> None:
+    """Per-part tmp/ stage artifacts in the reference binary's exact
+    formats, so scale-parity breaks can be bisected stage by stage
+    (test_golden_parity.test_intermediate_stage_files):
+
+    _initial_contigs.<p>.fa      C17 output, '>cp' = real-contig group
+                                 index (AlignGraph.cpp:1179-1216)
+    _pre_extended_contigs.<p>.fa C21 output, header '>seqID, extended,
+                                 startID, startOffset, endID, endOffset,
+                                 startID0, startOffset0, endID0,
+                                 endOffset0 ' with unsigned-int printing
+                                 and a trailing space (:2178)
+    _extended_contigs.<p>.fa     C23 output, '>seqID' (:2450-2460)
+    """
+    os.makedirs(work_dir, exist_ok=True)
+
+    def u(x) -> int:
+        return int(x) & 0xFFFFFFFF
+
+    with open(os.path.join(work_dir, f"_initial_contigs.{p}.fa"),
+              "w") as f:
+        for r, seq in initials:
+            f.write(f">{int(r)}\n")
+            _wrap60(f, seq)
+    with open(os.path.join(work_dir, f"_pre_extended_contigs.{p}.fa"),
+              "w") as f:
+        for i, c in enumerate(pre):
+            f.write(f">{i}, {int(c.extended)}, {u(c.start_id)}, "
+                    f"{u(c.start_off)}, {u(c.end_id)}, {u(c.end_off)}, "
+                    f"{u(c.start0_id)}, {u(c.start0_off)}, "
+                    f"{u(c.end0_id)}, {u(c.end0_off)} \n")
+            _wrap60(f, np.frombuffer(bytes(c.seq), np.int8))
+    with open(os.path.join(work_dir, f"_extended_contigs.{p}.fa"),
+              "w") as f:
+        for i, s in enumerate(scaffolds):
+            f.write(f">{i}\n")
+            _wrap60(f, s)
 
 
 def _write_out(path: str, ids: List[str], seqs: List[np.ndarray]) -> None:

@@ -573,7 +573,9 @@ def _pack_dense(out, P: int, K: int):
     L <= 255 (8-bit ss/sz) and distance_high <= 32000 (int16 mate-1
     tgt delta; |tgt1 - tgt0| <= fragment <= distance_high).
 
-    Word layout (P % 128 == 0; E2 = E3 = max(P//16, 128)):
+    Word layout (P % 128 == 0; capacities must match unpack_dense:
+    E2 = max(P//8, min(256, P*K)) extras,
+    E3 = max(P//4, min(256, P*K*2*(S-1))) segment-overflow entries):
       [0] n_extras  [1] n_ovf
       [2, 2+P/4)  meta u8 x4:  has | frp<<1 | segovf<<3
       [+P)        score  [P,2] int16 x2

@@ -99,6 +99,15 @@ def build_contig_layer(g: GraphTensors, contigs: Contigs,
         for r in rows:
             pm = ali.pos_map[r]
             pm_local = np.where(pm >= 0, pm - part_offset, -1).astype(np.int64)
+            # Lossy --part cut (AlignGraph.cpp:3347-3418): the reference
+            # aligns contigs against each part file separately, so an
+            # alignment can never reach past the part end — bases beyond
+            # the cut are simply unaligned.  Our demux assigns a global
+            # placement to the part holding target_start; positions past
+            # the boundary are masked to match that semantics (and to not
+            # index past the part's tensors).
+            pm_local = np.where((pm_local >= 0) & (pm_local < g.part_len),
+                                pm_local, -1)
             base0 = pm_local[0] if pm_local[0] >= 0 else -1
             # (a) near-duplicate placement skip
             skip = any(_u32_absdiff_lt(base0, pb, clen) for pb in prior_base0)

@@ -17,17 +17,16 @@ re-design (arrays + sort/segment ops, no per-base host loop):
   phase 2  candidate expansion: cross product of own-position ContiMers x
            mate-position ContiMers (up to 2x2; the contig layer caps
            occupancy at 2, AlignGraph.cpp:914)
-  phase 3  coarse grouping: rows with identical (pos, anchor signature)
-           collapse; mate-anchor offsets quantized by the compatibility
-           window (2*insertVariation + 5*EP + 1) — rows inside one bucket
-           are always mutually compatible, so collapsing is lossless
-           except at bucket boundaries (deterministic, documented
-           deviation)
-  phase 4  exact first-fit merge of group representatives into k-mer
-           slots: loop over per-position group rank (each rank touches
-           each position at most once -> fully vectorized across
-           positions), `compatible()` thresholds exact incl. the
-           OPTIMIZATION cross-contig-join rule
+  phase 3  exact grouping: rows with identical (pos, anchor signature)
+           collapse into one group — first-fit decisions depend only on
+           the signature (slots are append-only, anchors immutable), so
+           grouping is lossless
+  phase 4  first-fit merge via assign/create rounds: each round assigns
+           every pending group to its first compatible slot (vectorized
+           across positions), then the earliest pending group per
+           position creates one new slot — reproducing the reference's
+           sequential per-emission scan exactly; `compatible()`
+           thresholds exact incl. the OPTIMIZATION cross-contig-join rule
   phase 5  edges: k1-candidate x k2-candidate pairs, slot-level dedup
            (`nextCompatible`) + the contig-anchor edge gate
            (AlignGraph.cpp:1600-1615; note: no genome-anchor clause there)
@@ -402,7 +401,6 @@ def build_kmer_layer(g: GraphTensors, pairs: PairAlignments, reads: Reads,
 def _merge_chunk(g: GraphTensors, tup, insert_variation: int,
                  st: KmerBuildStats) -> None:
     win = 2 * insert_variation + 5 * EP
-    bucket = win + 1
     T = len(tup["cur"])
     st.tuples += T
 
@@ -419,15 +417,17 @@ def _merge_chunk(g: GraphTensors, tup, insert_variation: int,
     if R == 0:
         return
 
-    # ---- phase 3: coarse grouping ----
+    # ---- phase 3: exact grouping ----
     # arrival is the MOST-MINOR sort key: the first row of each sorted
     # group is its first-arrival representative (no ufunc.at reductions).
-    # The 6 group-key fields are bit-packed into as few int64 words as
-    # their runtime ranges allow (usually 2) — np.lexsort cost scales
-    # with the number of key arrays.
-    coff0_q = np.where(rows["coff0"] >= 0, rows["coff0"] // bucket, NONE)
-    gpos0_q = np.where(rows["gpos0"] >= 0, rows["gpos0"] // bucket, NONE)
-    keys = (gpos0_q, coff0_q, rows["contig0"], rows["coff"],
+    # Keys are the EXACT anchor signature — rows with identical anchors
+    # always make the same first-fit decision (slots are append-only and
+    # slot anchors immutable, so "first compatible slot index" for a
+    # given signature never changes), which keeps the grouped merge
+    # bit-identical to the reference's per-emission scan
+    # (AlignGraph.cpp:1375-1514).  The 6 group-key fields are bit-packed
+    # into as few int64 words as their runtime ranges allow (usually 2).
+    keys = (rows["gpos0"], rows["coff0"], rows["contig0"], rows["coff"],
             rows["contig"], rows["pos"])
     packed_keys = _pack_keys(keys)
     order = np.lexsort((rows["arrival"],) + packed_keys)
@@ -462,31 +462,24 @@ def _merge_chunk(g: GraphTensors, tup, insert_variation: int,
     g_gpos0 = rep("gpos0")
     g_spack, g_slen = rep("s_pack"), rep("s_len")
 
-    # ---- phase 4: ranked first-fit merge ----
-    rank_order = np.lexsort((g_first, g_pos))
-    rank = np.zeros(G, np.int64)
-    gp_sorted = g_pos[rank_order]
-    same = np.zeros(G, bool)
-    same[1:] = gp_sorted[1:] == gp_sorted[:-1]
-    run = np.zeros(G, np.int64)
-    cnt = 0
-    # vectorized per-position running rank
-    starts = np.nonzero(~same)[0]
-    run = np.arange(G) - np.repeat(starts, np.diff(
-        np.concatenate([starts, [G]])))
-    rank[rank_order] = run
+    # ---- phase 4: first-fit merge, assign/create rounds ----
+    # Faithful vectorization of the reference's per-emission scan: each
+    # round (a) assigns every still-pending group to its FIRST compatible
+    # existing slot, then (b) lets the earliest-arrival pending group per
+    # position create one new slot.  A pending group always arrives later
+    # than any slot it sees (else it would have been that round's
+    # creator), so the produced slot list and assignments equal the
+    # sequential reference scan (AlignGraph.cpp:1375-1514).  Rounds are
+    # bounded by the K_KM slot cap.
     g_slot = np.full(G, -1, np.int64)
-
-    max_rank = int(run.max()) + 1 if G else 0
-    st.dropped_rank += int((rank >= R_CAP).sum())
-    for r in range(min(max_rank, R_CAP)):
-        sel = np.nonzero(rank == r)[0]
-        if len(sel) == 0:
+    pending = np.lexsort((g_first, g_pos))  # (pos, arrival)-sorted groups
+    for _round in range(K_KM + 2):
+        if len(pending) == 0:
             break
-        pos = g_pos[sel]
+        pos = g_pos[pending]
         kc = g.km_cnt[pos].astype(np.int64)
-        # compare against all K slots
-        comp = np.zeros((len(sel), K_KM), bool)
+        # (a) compare pending groups against all K slots
+        comp = np.zeros((len(pending), K_KM), bool)
         for slot in range(K_KM):
             sc = np.where(g.km_contig[pos, slot] == NONE32, NONE,
                           g.km_contig[pos, slot].astype(np.int64))
@@ -497,26 +490,39 @@ def _merge_chunk(g: GraphTensors, tup, insert_variation: int,
             sg0 = np.where(g.km_mate[pos, slot] == NONE32, NONE,
                            g.km_mate[pos, slot].astype(np.int64))
             comp[:, slot] = (slot < kc) & _compat_vec(
-                g_contig[sel], g_coff[sel], g_contig0[sel], g_coff0[sel],
-                g_gpos0[sel], sc, sf, sc0, sf0, sg0, win)
+                g_contig[pending], g_coff[pending], g_contig0[pending],
+                g_coff0[pending], g_gpos0[pending], sc, sf, sc0, sf0,
+                sg0, win)
         has = comp.any(axis=1)
         first = np.where(has, comp.argmax(axis=1), -1)
-        # merge into existing slot
+        # merge into existing slot (several groups may share one slot in
+        # a round -> unbuffered adds)
         mi = np.nonzero(has)[0]
         if len(mi):
             mp, ms = pos[mi], first[mi]
-            g.km_cov[mp, ms] += g_weight[sel[mi]].astype(np.int32)
-            g.km_votes[mp, ms] += g_votes[sel[mi]].astype(np.int32)
-            g_slot[sel[mi]] = ms
-        # append new slot
-        ai = np.nonzero(~has)[0]
-        if len(ai):
-            ap = pos[ai]
-            ac = kc[ai]
-            ok = ac < K_KM
-            st.dropped_slots += int((~ok).sum())
-            ai, ap, ac = ai[ok], ap[ok], ac[ok]
-            gi = sel[ai]
+            np.add.at(g.km_cov, (mp, ms),
+                      g_weight[pending[mi]].astype(np.int32))
+            np.add.at(g.km_votes, (mp, ms),
+                      g_votes[pending[mi]].astype(np.int32))
+            g_slot[pending[mi]] = ms
+        rem = pending[~has]          # still (pos, arrival)-sorted
+        if len(rem) == 0:
+            break
+        # (b) earliest pending group per position creates a slot;
+        # capped positions drop all their pending groups (the reference
+        # has no cap — drops are counted determinism diagnostics)
+        posr = g_pos[rem]
+        is_first = np.zeros(len(rem), bool)
+        is_first[0] = True
+        is_first[1:] = posr[1:] != posr[:-1]
+        at_cap = g.km_cnt[posr].astype(np.int64) >= K_KM
+        st.dropped_slots += int(at_cap.sum())
+        pending = rem[~at_cap]
+        crt = rem[is_first & ~at_cap]
+        if len(crt):
+            gi = crt
+            ap = g_pos[gi]
+            ac = g.km_cnt[ap].astype(np.int64)
             g.km_contig[ap, ac] = np.where(g_contig[gi] >= 0, g_contig[gi],
                                            NONE32).astype(np.uint32)
             g.km_coff[ap, ac] = (g_coff[gi] & 0xFFFFFFFF).astype(np.uint32)
@@ -532,6 +538,7 @@ def _merge_chunk(g: GraphTensors, tup, insert_variation: int,
             g.km_slen[ap, ac] = g_slen[gi].astype(np.int8)
             g.km_cnt[ap] += 1
             g_slot[gi] = ac
+            pending = pending[g_slot[pending] < 0]
 
     # ---- phase 5: edges ----
     # tuple t combo (j, j0): row index in k1/k2 block; need slot per row

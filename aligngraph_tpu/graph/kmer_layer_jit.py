@@ -15,11 +15,10 @@ tests/test_kmer_jit.py), reformulated for XLA/TPU:
   - grouping (phase 3) is ONE multi-operand `lax.sort` on fixed-width
     packed keys + sorted-segment reductions via cumsum and boundary
     gathers — no scatter-adds.
-  - the ranked first-fit merge (phase 4) scatters group fields once into
-    a position-dense [n_pos, R_CAP, F] grid, then runs a `lax.scan` over
-    ranks where every step is a pure dense [n_pos, K] select against the
-    resident slot state — the reference's per-k-mer `compatible()` scan
-    becomes 24 vectorized steps with no gather/scatter at all.
+  - the first-fit merge (phase 4) runs the host oracle's assign/create
+    rounds (<= K_KM+2 fixed `lax.fori_loop` steps): per-group gathers of
+    the resident slot rows + masked scatter-adds — the reference's
+    per-k-mer `compatible()` scan, exactly, with no dense grid.
   - edges (phase 5) dedup with one packed-key sort, gate against the
     post-merge slot state, and append via per-(pos, slot) run ranks.
 
@@ -40,7 +39,7 @@ import numpy as np
 
 from aligngraph_tpu.config import EP
 from aligngraph_tpu.graph.kmer_layer import (
-    CPM, CPO, KmerBuildStats, R_CAP, normalize_records,
+    CPM, CPO, KmerBuildStats, normalize_records,
 )
 from aligngraph_tpu.graph.model import E_ED, K_KM, GraphTensors, NONE32
 
@@ -220,7 +219,6 @@ def _compat_jit(gc, gf, gc0, gf0, gg0, sc, sf, sc0, sf0, sg0, win):
 @partial(jax.jit, static_argnames=("k", "win", "n_pos", "B_cap", "G_cap"))
 def _chunk_update(state, cmpack, p1, p2, s1, lens, keep, *, k, win,
                   n_pos, B_cap, G_cap):
-    bucket = win + 1
     tup, bridge_ovf = _emit_tuples_jit(p1, p2, s1, lens, keep, k, B_cap)
 
     k1 = _expand_jit(cmpack, n_pos, tup["cur"], tup["mate_cur"],
@@ -239,8 +237,12 @@ def _chunk_update(state, cmpack, p1, p2, s1, lens, keep, *, k, win,
     R_all = rows["pos"].shape[0]
 
     # ---- phase 3: grouping by multi-word int32 keys (x64-free) ----
-    coff0_q = jnp.where(rows["coff0"] >= 0, rows["coff0"] // bucket, -1)
-    gpos0_q = jnp.where(rows["gpos0"] >= 0, rows["gpos0"] // bucket, -1)
+    # keys are the EXACT anchor signature (no window quantization): rows
+    # with identical signatures always make the same first-fit decision,
+    # so grouping stays bit-identical to the reference's per-emission
+    # scan (see kmer_layer.py phase 3/4 notes)
+    coff0_q = rows["coff0"]
+    gpos0_q = rows["gpos0"]
     # invalid rows get the sentinel ALONE (an OR with garbage negative
     # positions would produce keys that sort as valid)
     w0 = jnp.where(rows["valid"], rows["pos"] + 1, 1 << 30)
@@ -296,7 +298,12 @@ def _chunk_update(state, cmpack, p1, p2, s1, lens, keep, *, k, win,
         votes_cols.append(vc[ends] - vc[starts])
     g_votes = jnp.stack(votes_cols, axis=-1)          # [G_cap, 5]
 
-    # ---- phase 4: ranked first-fit merge over a position-dense grid ----
+    # ---- phase 4: first-fit merge, assign/create rounds ----
+    # Same algorithm as the host oracle: each round (a) assigns every
+    # pending group to its first compatible slot (per-group gathers of
+    # the resident slot rows), then (b) the earliest-arrival pending
+    # group per position creates one new slot.  Rounds are bounded by
+    # the K_KM cap; no [R_CAP, n_pos, F] grid is materialized.
     wR = jnp.where(g_ok, g_pos + 1, 1 << 30)
     gidx = jnp.arange(G_cap, dtype=I32)
     wR_s, _, gsort = jax.lax.sort((wR, g_first, gidx), num_keys=2,
@@ -305,100 +312,100 @@ def _chunk_update(state, cmpack, p1, p2, s1, lens, keep, *, k, win,
     okr = wR_s < (1 << 30)
     news = jnp.ones(G_cap, bool)
     news = news.at[1:].set(pos_rs[1:] != pos_rs[:-1])
-    # run rank within position via cumsum-of-starts trick
-    sidx = jnp.where(news & okr, gidx, 0)
-    rank = gidx - jax.lax.cummax(sidx)
-    dropped_rank = jnp.sum((okr & (rank >= R_CAP)).astype(I32))
+    # index of each group's position-run start (for within-run prefix)
+    run_start = jax.lax.cummax(jnp.where(news, gidx, 0))
 
-    F = 14
-    gfields = jnp.stack([
-        g_contig[gsort], g_coff[gsort], g_contig0[gsort], g_coff0[gsort],
-        g_gpos0[gsort], g_weight[gsort],
-        g_votes[gsort, 0], g_votes[gsort, 1], g_votes[gsort, 2],
-        g_votes[gsort, 3], g_votes[gsort, 4],
-        g_spack[gsort], g_slen[gsort], jnp.ones(G_cap, I32),
-    ], axis=-1)                                        # [G_cap, F]
-    # grid laid out [R_CAP, n_pos, F] so the rank scan consumes
-    # contiguous slabs with no 1.5 GB transpose
-    grid = jnp.zeros((R_CAP, n_pos, F), I32)
-    scat_pos = jnp.where(okr & (rank < R_CAP), pos_rs, n_pos)
-    grid = grid.at[jnp.clip(rank, 0, R_CAP - 1), scat_pos].set(
-        gfields, mode="drop")
-    # remember each group's (rank, pos) cell to read its slot back
-    cell_of_group = jnp.full(G_cap, -1, I32).at[gsort].set(
-        jnp.where(okr & (rank < R_CAP), rank * n_pos + pos_rs, -1),
-        mode="drop")
+    # group fields in (pos, arrival)-sorted order
+    sgc = g_contig[gsort]
+    sgf = g_coff[gsort]
+    sgc0 = g_contig0[gsort]
+    sgf0 = g_coff0[gsort]
+    sgg0 = g_gpos0[gsort]
+    sgw = g_weight[gsort]
+    sgv = g_votes[gsort]                               # [G_cap, 5]
+    sgsp = g_spack[gsort]
+    sgsl = g_slen[gsort]
+    posc_s = jnp.clip(pos_rs, 0, n_pos - 1)
 
     NONE = I32(-1)
 
     def unpk(a):
         return jnp.where(a == jnp.uint32(NONE32).astype(I32), -1, a)
 
-    def rank_step(carry, slab):
-        (contig, coff, contig0, coff0, mate_, cov, votes, spk, sln,
-         cnt, dslots) = carry
-        present = slab[:, 13] > 0
-        fc, ff = slab[:, 0], slab[:, 1]
-        fc0, ff0 = slab[:, 2], slab[:, 3]
-        fg0 = slab[:, 4]
-        fw = slab[:, 5]
-        fv = slab[:, 6:11]
-        fsp, fsl = slab[:, 11], slab[:, 12]
-        comp = []
-        for s in range(K_KM):
-            sc = unpk(contig[:, s])
-            sc0 = unpk(contig0[:, s])
-            sg0 = unpk(mate_[:, s])
-            c = (s < cnt) & _compat_jit(
-                fc, ff, fc0, ff0, fg0,
-                sc, coff[:, s], sc0, coff0[:, s], sg0, win)
-            comp.append(c)
-        comp = jnp.stack(comp, axis=-1)                # [n_pos, K]
-        has = comp.any(axis=-1)
-        first = jnp.argmax(comp, axis=-1).astype(I32)
-        slot_m = jnp.where(present & has, first, -1)
-        can_app = present & ~has & (cnt < K_KM)
-        dropped = present & ~has & (cnt >= K_KM)
-        slot_a = jnp.where(can_app, cnt, -1)
-        onehot_m = (jnp.arange(K_KM)[None, :] == slot_m[:, None])
-        onehot_a = (jnp.arange(K_KM)[None, :] == slot_a[:, None]) & \
-            can_app[:, None]
-        cov = cov + jnp.where(onehot_m, fw[:, None], 0) \
-            + jnp.where(onehot_a, fw[:, None], 0)
-        votes = votes + jnp.where(onehot_m[:, :, None],
-                                  fv[:, None, :], 0) \
-            + jnp.where(onehot_a[:, :, None], fv[:, None, :], 0)
-        seta = lambda old, new: jnp.where(onehot_a, new[:, None], old)  # noqa: E731
-        contig = seta(contig, fc)
-        coff = seta(coff, ff)
-        contig0 = seta(contig0, fc0)
-        coff0 = seta(coff0, ff0)
-        mate_ = seta(mate_, fg0)
-        spk = seta(spk, fsp)
-        sln = seta(sln, fsl)
-        cnt = cnt + can_app.astype(I32)
-        dslots = dslots + jnp.sum(dropped.astype(I32))
-        chosen = jnp.where(present,
-                           jnp.where(has, slot_m, slot_a), -1)
-        return (contig, coff, contig0, coff0, mate_, cov, votes, spk,
-                sln, cnt, dslots), chosen
-
     def enc(a):
         return jnp.where(a == -1, jnp.uint32(NONE32).astype(I32), a)
 
+    def round_step(_, carry):
+        (contig, coff, contig0, coff0, mate_, cov, votes, spk, sln,
+         cnt, pending, slot_s, dslots) = carry
+        # (a) per-group compat against the K slots at its position
+        kc = cnt[posc_s]
+        comp = []
+        for s in range(K_KM):
+            c = (s < kc) & _compat_jit(
+                sgc, sgf, sgc0, sgf0, sgg0,
+                unpk(contig[posc_s, s]), coff[posc_s, s],
+                unpk(contig0[posc_s, s]), coff0[posc_s, s],
+                unpk(mate_[posc_s, s]), win)
+            comp.append(c)
+        comp = jnp.stack(comp, axis=-1)                # [G_cap, K]
+        has = comp.any(axis=-1)
+        first = jnp.argmax(comp, axis=-1).astype(I32)
+        assign = pending & has
+        mpos = jnp.where(assign, posc_s, n_pos)
+        cov = cov.at[mpos, first].add(jnp.where(assign, sgw, 0),
+                                      mode="drop")
+        votes = votes.at[mpos, first].add(
+            jnp.where(assign[:, None], sgv, 0), mode="drop")
+        slot_s = jnp.where(assign, first, slot_s)
+        pending = pending & ~has
+        # drop all pending at capped positions
+        at_cap = kc >= K_KM
+        dslots = dslots + jnp.sum((pending & at_cap).astype(I32))
+        pending = pending & ~at_cap
+        # (b) earliest pending group per position creates one slot
+        S = jnp.cumsum(pending.astype(I32))
+        base = S[run_start] - pending[run_start].astype(I32)
+        creator = pending & ((S - base) == 1)
+        ac = cnt[posc_s]
+        cpos = jnp.where(creator, posc_s, n_pos)
+        acs = jnp.clip(ac, 0, K_KM - 1)
+        contig = contig.at[cpos, acs].set(sgc, mode="drop")
+        coff = coff.at[cpos, acs].set(sgf, mode="drop")
+        contig0 = contig0.at[cpos, acs].set(sgc0, mode="drop")
+        coff0 = coff0.at[cpos, acs].set(sgf0, mode="drop")
+        mate_ = mate_.at[cpos, acs].set(sgg0, mode="drop")
+        cov = cov.at[cpos, acs].set(jnp.where(creator, sgw, 0),
+                                    mode="drop")
+        votes = votes.at[cpos, acs].set(
+            jnp.where(creator[:, None], sgv, 0), mode="drop")
+        spk = spk.at[cpos, acs].set(sgsp, mode="drop")
+        sln = sln.at[cpos, acs].set(sgsl, mode="drop")
+        cnt = cnt.at[cpos].add(1, mode="drop")
+        slot_s = jnp.where(creator, ac, slot_s)
+        pending = pending & ~creator
+        return (contig, coff, contig0, coff0, mate_, cov, votes, spk,
+                sln, cnt, pending, slot_s, dslots)
+
+    # anchors stored encoded (NONE32) in the slot state; the creating
+    # group's -1 anchors must be encoded on write — pre-encode the
+    # sorted fields used for slot writes
+    sgc = enc(sgc)
+    sgc0 = enc(sgc0)
+    sgg0 = enc(sgg0)
     carry0 = (
         state["km_contig"], state["km_coff"], state["km_contig0"],
         state["km_coff0"], state["km_mate"], state["km_cov"],
         state["km_votes"], state["km_s"], state["km_slen"],
-        state["km_cnt"], jnp.zeros((), I32))
-    carry, chosen_all = jax.lax.scan(rank_step, carry0, grid)
+        state["km_cnt"], okr, jnp.full(G_cap, -1, I32),
+        jnp.zeros((), I32))
+    carry = jax.lax.fori_loop(0, K_KM + 2, round_step, carry0)
     (n_contig, n_coff, n_contig0, n_coff0, n_mate, n_cov, n_votes,
-     n_spk, n_sln, n_cnt, dropped_slots) = carry
+     n_spk, n_sln, n_cnt, _pend, slot_sorted, dropped_slots) = carry
+    dropped_rank = jnp.zeros((), I32)
 
     # slot per group (by original gid), then per row
-    slotgrid = chosen_all.reshape(R_CAP * n_pos)
-    g_slot = jnp.where(cell_of_group >= 0,
-                       slotgrid[jnp.clip(cell_of_group, 0, None)], -1)
+    g_slot = jnp.full(G_cap, -1, I32).at[gsort].set(slot_sorted)
     row_slot_s = jnp.where(valid_s, g_slot[jnp.clip(gid, 0, G_cap - 1)],
                            -1)
     row_slot = jnp.zeros(R_all, I32).at[rowid_s].set(row_slot_s)
@@ -564,10 +571,14 @@ def _state_to_graph(state, g: GraphTensors) -> None:
 
 def build_kmer_layer_device(g: GraphTensors, pairs, reads, k: int,
                             insert_variation: int, part_offset: int = 0,
-                            chunk_records: int = 8192,
+                            chunk_records: int = 16384,
                             stats: Optional[KmerBuildStats] = None,
                             device=None) -> KmerBuildStats:
     """Drop-in for kmer_layer.build_kmer_layer with the merge on device.
+
+    chunk_records matches the host oracle's default — KmerBuildStats
+    (groups, dropped_*) are chunk-boundary dependent, so the pipeline's
+    reported kmer_stats stay comparable when toggling cfg.graph_build.
 
     Chunks whose capacity bounds overflow (bridge rows / groups / edges)
     fall back to the host oracle for that chunk — results stay identical,

@@ -72,6 +72,49 @@ def _subset_contig_ali(ca: ContigAlignments, mask: np.ndarray
         pos_map=[ca.pos_map[i] for i in idx])
 
 
+def _concat_contig_ali(parts: List[ContigAlignments]
+                       ) -> ContigAlignments:
+    if not parts:
+        return ContigAlignments(
+            chunk_id=np.zeros(0, np.int32), fr=np.zeros(0, np.int8),
+            score=np.zeros(0, np.int32),
+            source_start=np.zeros(0, np.int32),
+            source_end=np.zeros(0, np.int32),
+            source_gap=np.zeros(0, np.int32),
+            source_size=np.zeros(0, np.int32),
+            target_start=np.zeros(0, np.int32),
+            target_end=np.zeros(0, np.int32),
+            target_gap=np.zeros(0, np.int32), pos_map=[])
+    kw = {f.name: np.concatenate([getattr(p, f.name) for p in parts])
+          for f in dataclasses.fields(ContigAlignments)
+          if f.name != "pos_map"}
+    kw["pos_map"] = [m for p in parts for m in p.pos_map]
+    return ContigAlignments(**kw)
+
+
+def _align_contigs_per_part(genome: Genome, contigs: Contigs,
+                            cfg: Config) -> ContigAlignments:
+    """Per-part contig alignment — the reference's `task1` always aligns
+    tmp/_contigs.fa against each tmp/_genome.<i>.fa separately
+    (AlignGraph.cpp:3615-3656), so a contig straddling a part cut is
+    placed in whichever part(s) pass the C12 coverage filter on the
+    part-local alignment.  Coordinates are lifted back to the global
+    genome axis afterwards."""
+    parts = []
+    for p in range(genome.n_parts):
+        pseq = np.asarray(genome.part_seq(p), np.int8)
+        if len(pseq) < cfg.seed_len:
+            continue
+        ca = ContigAligner(pseq, cfg)
+        r = ca.align(contigs)
+        off = np.int32(genome.part_gstart[p])
+        r.target_start += off
+        r.target_end += off
+        r.pos_map = [np.where(pm >= 0, pm + off, pm) for pm in r.pos_map]
+        parts.append(r)
+    return _concat_contig_ali(parts)
+
+
 def check_ratio(rali: PairAlignments, n_pairs: int) -> float:
     """C25 (`checkRatio`, AlignGraph.cpp:3751-3819): fraction of pairs
     passing the C13 filters; warns below 25%."""
@@ -165,8 +208,7 @@ def run_pipeline(cfg: Config,
                 # align anywhere (degenerate input; previously crashed on
                 # np.concatenate of an empty list)
                 rali = PairAlignments.empty(max(reads.max_len, 1))
-            c_aligner = ContigAligner(gseq, cfg)
-            cali = c_aligner.align(contigs)
+            cali = _align_contigs_per_part(genome, contigs, cfg)
         else:
             # the reference overlaps read-align and contig-align with a
             # 2-pthread fork (`parallelMap`, AlignGraph.cpp:3720-3735);
@@ -177,10 +219,15 @@ def run_pipeline(cfg: Config,
 
             r_aligner = ReadAligner.build(gseq, cfg)
             r_aligner.index.device_arrays()   # pre-warm shared index
-            c_aligner = ContigAligner(gseq, cfg, index=r_aligner.index)
+            if genome.n_parts == 1:
+                c_aligner = ContigAligner(gseq, cfg, index=r_aligner.index)
+                align_c = lambda: c_aligner.align(contigs)  # noqa: E731
+            else:
+                align_c = lambda: _align_contigs_per_part(  # noqa: E731
+                    genome, contigs, cfg)
             with _cf.ThreadPoolExecutor(max_workers=2) as ex:
                 fut_r = ex.submit(r_aligner.align, reads)
-                fut_c = ex.submit(c_aligner.align, contigs)
+                fut_c = ex.submit(align_c)
                 rali = fut_r.result()
                 cali = fut_c.result()
         if checkpoint is not None:

@@ -62,13 +62,22 @@ def refine(cfg: Config, genome: Genome, contigs: Contigs,
     ext_out_seqs: List[np.ndarray] = []
     seq_id = 0
 
+    # Reference quirk (AlignGraph.cpp:3031-3105): `extdInitMap` is NEVER
+    # cleared between chromosomes (extdContigs/extdTags are) while being
+    # indexed by the PER-CHROMOSOME extended-contig id — so ids of initial
+    # contigs accepted in earlier chromosomes leak into later chromosomes'
+    # headers whenever their extended ids collide.  Preserved for byte
+    # parity (test_golden_flag_matrix[multichrom_iterativeMap]).
+    ext_init_map: List[List[int]] = []
+
     for part in range(genome.n_parts):
         extd = per_part_extended[part]
         initials = per_part_initials[part]
+        ext_tags = np.zeros(len(extd), np.int64)
+        # one appended entry per extended contig read (AlignGraph.cpp:3035)
+        ext_init_map.extend([] for _ in extd)
         if not extd or not initials:
             continue
-        ext_tags = np.zeros(len(extd), np.int64)
-        ext_init_map: List[List[int]] = [[] for _ in extd]
 
         # concatenated extended-contig axis with N separators
         off = []

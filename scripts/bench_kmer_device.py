@@ -70,10 +70,12 @@ def main():
     _state_to_graph(state, GraphTensors.create(ref))
     sync_s = time.time() - t0
 
+    # same field tuple as tests/test_kmer_jit.py::KM_FIELDS so the
+    # printed bit_equal covers everything the unit tests cover
+    from tests.test_kmer_jit import KM_FIELDS
     equal = all(
         np.array_equal(getattr(g_d, f), getattr(g_h, f))
-        for f in ("km_cnt", "km_cov", "km_votes", "km_s", "ed_cnt",
-                  "ed_pos", "ed_item"))
+        for f in KM_FIELDS)
     print(json.dumps({
         "metric": "kmer_build_seconds",
         "backend": jax.default_backend(),

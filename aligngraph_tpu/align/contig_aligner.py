@@ -35,17 +35,21 @@ import jax.numpy as jnp
 from aligngraph_tpu.align.types import ContigAlignments
 from aligngraph_tpu.config import Config, INIT_CONTIG_THRESHOLD
 from aligngraph_tpu.io.formalize import Contigs
-from aligngraph_tpu.ops.banded_sw import banded_sw_auto, sw_traceback
+from aligngraph_tpu.ops.banded_sw import banded_sw_posmap_auto
 from aligngraph_tpu.ops.seeding import (
     SeedIndex, build_index, pack_kmers_np, rc_packed_np)
 
 TILE = 512
-TILE_PAD = 64
+# 16 (not 64): every tile re-anchors its diagonal from its own seed hits
+# (_tile_diags), so the band only needs to absorb WITHIN-tile drift
+# (small indels); the Pallas DP degrades ~100x at W=128 sublanes while
+# W=32 matches the read path's efficient register layout
+TILE_PAD = 16
 CLUSTER_GAP = 1000        # diagonal distance that separates clusters
 MAX_JOIN_GAP = 20_000     # max genome gap when chaining clusters
 MAX_Q_OVERLAP = 200       # allowed query overlap when chaining
 MAX_PLACEMENTS = 4
-DP_BATCH = 512            # tile jobs per device call
+DP_BATCH = 2048           # tile jobs per device call
 
 _COMP_NP = np.array([3, 2, 1, 0, 4], dtype=np.int8)
 
@@ -141,6 +145,65 @@ def _tile_diags(chain: List[dict], n_tiles: int) -> np.ndarray:
             td[t] = last
             has[t] = True
     return np.where(has, td, 2**62), has
+
+
+def _enforce_monotone(pos_map: np.ndarray) -> None:
+    """Keep the maximum-weight strictly-increasing chain of M-blocks.
+
+    Real BLAT PSL blocks are strictly increasing in both query and target;
+    our per-tile DP can map bases on either side of a tile seam to the
+    same (or an earlier) target position — diag-carry-forward tiles over
+    regions the genome does not contain produce short junk blocks at
+    arbitrary positions.  A repeated target position becomes a ContiMer
+    whose next pointer is its own position — the reference's ContiMer
+    walk (AlignGraph.cpp:2063-2089, tag==0 path marks nothing traversed)
+    then loops forever appending bases (reproduced: 4 GB contig / 32 GB
+    RSS on a 12 kb genome).  Chaining at the block level keeps the real
+    alignment and sheds the junk (a greedy keep-earlier rule would let
+    junk truncate the true suffix)."""
+    idx = np.nonzero(pos_map >= 0)[0]
+    if len(idx) < 2:
+        return
+    # M-blocks: runs of consecutive source bases with consecutive targets
+    vals = pos_map[idx]
+    brk = np.nonzero((np.diff(idx) != 1) | (np.diff(vals) != 1))[0]
+    starts = np.concatenate([[0], brk + 1])
+    ends = np.concatenate([brk + 1, [len(idx)]])
+    if len(starts) == 1:
+        return
+    t0 = vals[starts]
+    t1 = vals[ends - 1] + 1
+    if np.all(t0[1:] >= t1[:-1]):
+        return                      # already strictly increasing
+    m = len(starts)
+    w = (ends - starts).astype(np.int64)
+    # weighted chain DP with target-overlap trimming: a successor block
+    # may overlap its predecessor's target span — the overlapped prefix
+    # is trimmed off (local SW chance-extends block ends past true
+    # breakpoints, so exact non-overlap chaining would disqualify the
+    # real continuation)
+    best = w.copy()
+    parent = np.full(m, -1, np.int64)
+    trim = np.zeros(m, np.int64)
+    for i in range(1, m):
+        ov = np.maximum(t1[:i] - t0[i], 0)
+        kept_w = w[i] - ov
+        gain = np.where(kept_w > 0, best[:i] + kept_w, -1)
+        j = int(np.argmax(gain))            # first max (deterministic)
+        if gain[j] > best[i]:
+            best[i] = gain[j]
+            parent[i] = j
+            trim[i] = ov[j]
+    keep = np.zeros(m, bool)
+    i = int(np.argmax(best))                # first max on ties
+    while i >= 0:
+        keep[i] = True
+        i = int(parent[i])
+    for k in np.nonzero(~keep)[0]:
+        pos_map[idx[starts[k]]:idx[ends[k] - 1] + 1] = -1
+    for k in np.nonzero(keep & (trim > 0))[0]:
+        cut = idx[starts[k] + trim[k] - 1] + 1
+        pos_map[idx[starts[k]]:cut] = -1
 
 
 def _fill_gapless_holes(pos_map: np.ndarray) -> None:
@@ -239,11 +302,16 @@ class ContigAligner:
 
     # ------------------------------------------------------------------
     def _run_tile_jobs(self, jobs, placements):
+        import jax
+
         G = len(self.genome_np)
         W = 2 * TILE_PAD
-        for s in range(0, len(jobs), DP_BATCH):
-            blk = jobs[s:s + DP_BATCH]
-            B = DP_BATCH
+        # big batches amortize the tunnel dispatch+d2h on TPU; on CPU the
+        # XLA compile cost scales with batch so stay small
+        bs = DP_BATCH if jax.default_backend() != "cpu" else 512
+        for s in range(0, len(jobs), bs):
+            blk = jobs[s:s + bs]
+            B = bs
             tiles = np.full((B, TILE), 4, np.int8)
             tlens = np.zeros(B, np.int32)
             g0s = np.zeros(B, np.int32)
@@ -255,10 +323,13 @@ class ContigAligner:
             ok = (x >= 0) & (x < G)
             windows = np.where(ok, self.genome_np[np.clip(x, 0, G - 1)],
                                np.int8(4))
-            res = banded_sw_auto(jnp.asarray(tiles), jnp.asarray(tlens),
-                            jnp.asarray(windows), pad=TILE_PAD)
-            pm = np.asarray(sw_traceback(res.tb, res.best_i, res.best_b,
-                                         jnp.asarray(g0s), pad=TILE_PAD))
+            # fused DP + gapless fast path (most tiles are indel-free ->
+            # pos_map synthesized without traceback; on TPU the
+            # traceback runs compacted, see banded_sw_posmap_fast)
+            _, pm_d = banded_sw_posmap_auto(
+                jnp.asarray(tiles), jnp.asarray(tlens),
+                jnp.asarray(windows), jnp.asarray(g0s), pad=TILE_PAD)
+            pm = np.asarray(pm_d)
             for k, (pid, ts, tile, plen, g0) in enumerate(blk):
                 seg = pm[k, :plen]
                 dst = placements[pid]["pos_map"][ts:ts + plen]
@@ -272,6 +343,7 @@ class ContigAligner:
         maps = []
         for p in placements:
             pm = p["pos_map"]
+            _enforce_monotone(pm)
             _fill_gapless_holes(pm)
             aligned = np.nonzero(pm >= 0)[0]
             if len(aligned) == 0:

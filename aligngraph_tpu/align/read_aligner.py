@@ -259,7 +259,8 @@ class ReadAligner:
                 K=MAX_PAIR_HITS, dlow=cfg.distance_low,
                 dhigh=cfg.distance_high,
                 bsteps=self.index.search_steps,
-                sbits=self.index.suffix_bits, c13=self.c13)
+                sbits=self.index.suffix_bits, c13=self.c13,
+                mh=cfg.max_seed_hits)
             # start the device->host copy as soon as compute finishes so
             # the ~30 ms/buffer tunnel latency overlaps later batches'
             # device work instead of serializing in the fetch loop
@@ -291,7 +292,8 @@ class ReadAligner:
                     C=cfg.max_candidates, K=MAX_PAIR_HITS,
                     dlow=cfg.distance_low, dhigh=cfg.distance_high,
                     bsteps=self.index.search_steps,
-                    sbits=self.index.suffix_bits)
+                    sbits=self.index.suffix_bits,
+                    mh=cfg.max_seed_hits)
                 full = jax.tree_util.tree_map(np.asarray, full)
                 if self.c13:
                     # np.asarray views of jax arrays are read-only
@@ -373,10 +375,11 @@ def _window_slices(genome: jax.Array, start: jax.Array, WL: int,
 
 
 @partial(jax.jit, static_argnames=("seed_len", "stride", "pad", "C", "K",
-                                   "dlow", "dhigh", "bsteps", "sbits"))
+                                   "dlow", "dhigh", "bsteps", "sbits",
+                                   "mh"))
 def _align_pairs_device(genome, sorted_kmers, sorted_posflip, bucket_lo,
                         seqs, plens, *, seed_len, stride, pad, C, K, dlow,
-                        dhigh, bsteps, sbits):
+                        dhigh, bsteps, sbits, mh=8):
     """One batch of P pairs -> top-K pair alignments per pair.
 
     Full-layout path (fallback + tests): computes the reverse complement
@@ -387,12 +390,12 @@ def _align_pairs_device(genome, sorted_kmers, sorted_posflip, bucket_lo,
     return _align_core(genome, sorted_kmers, sorted_posflip, bucket_lo,
                        seqs, rc, plens, seed_len=seed_len, stride=stride,
                        pad=pad, C=C, K=K, dlow=dlow, dhigh=dhigh,
-                       bsteps=bsteps, sbits=sbits)
+                       bsteps=bsteps, sbits=sbits, mh=mh)
 
 
 def _align_core(genome, sorted_kmers, sorted_posflip, bucket_lo,
                 seqs, rc, plens, *, seed_len, stride, pad, C, K, dlow,
-                dhigh, bsteps, sbits):
+                dhigh, bsteps, sbits, mh=8):
     R, L = seqs.shape            # R = 2P (mate-interleaved)
     P = R // 2
     W = 2 * pad
@@ -408,9 +411,16 @@ def _align_core(genome, sorted_kmers, sorted_posflip, bucket_lo,
     qflip = pk_rc < packed
     pcan = jnp.minimum(packed, pk_rc)
     pf, ok = lookup_seeds_bucketed(sorted_kmers, sorted_posflip, bucket_lo,
-                                   pcan, valid, 8, bsteps, sbits)
+                                   pcan, valid, mh, bsteps, sbits)
     diag_s, votes_s, orient_s = select_candidates(
         pf, ok, qflip, offs, rlens, seed_len, pad, C)    # [R, C] each
+    # single-vote candidates are almost always spurious seed collisions
+    # (expected ~0.5/read at 13-mers on a 4.6 Mb genome); a true placement
+    # of a C13-acceptable read hits >= 2 seeds on its diagonal with
+    # overwhelming probability (>= 60 aligned bases = 4+ intact seed
+    # windows at stride 12).  Dropping them keeps the DP/traceback lanes
+    # for real candidates.
+    diag_s = jnp.where(votes_s >= 2, diag_s, INVALID_DIAG)
 
     # --- validity compaction: most candidate slots are empty (avg ~1.2
     # real candidates/read); sort valid-first and run DP/traceback/stats
@@ -443,14 +453,15 @@ def _align_core(genome, sorted_kmers, sorted_posflip, bucket_lo,
     windows = _window_slices(genome, diag_safe - pad, WL, L + W)
     creads = qseqs[qidx]
     clens = qlens[qidx]
-    sw_score, pos_map = banded_sw_posmap_auto(
-        creads, jnp.where(cvalid, clens, 0), windows, diag_safe, pad=pad)
-    st = _candidate_stats(pos_map, clens)            # pos_map [TOP, L]
-    score = jnp.where(cvalid, sw_score, -1)
     score_min = jnp.ceil(
         SCORE_MIN_CONST
         + SCORE_MIN_COEFF * jnp.log(jnp.maximum(clens, 2).astype(jnp.float32))
     ).astype(jnp.int32)
+    sw_score, pos_map = banded_sw_posmap_auto(
+        creads, jnp.where(cvalid, clens, 0), windows, diag_safe, pad=pad,
+        smin=score_min)
+    st = _candidate_stats(pos_map, clens)            # pos_map [TOP, L]
+    score = jnp.where(cvalid, sw_score, -1)
     good = cvalid & (score >= score_min) & (st["match"] > 0)
 
     # --- per-mate candidate tables [P, 2, C] ---
@@ -717,10 +728,11 @@ def unpack_dense(buf: np.ndarray, P: int) -> dict:
 
 @partial(jax.jit, static_argnames=("L", "seed_len", "stride", "pad", "C",
                                    "K", "dlow", "dhigh", "bsteps", "sbits",
-                                   "c13", "dense"))
+                                   "c13", "dense", "mh"))
 def _align_pairs_packed(genome, sorted_kmers, sorted_posflip, bucket_lo, u2,
                         nmask, u2r, nmr, plens, *, L, seed_len, stride, pad,
-                        C, K, dlow, dhigh, bsteps, sbits, c13, dense=True):
+                        C, K, dlow, dhigh, bsteps, sbits, c13, dense=True,
+                        mh=8):
     """Tunnel-optimized batch: 2-bit packed reads (forward AND host-side
     reverse complement) in, first-segment + overflow-buffer records out,
     C13 ratio filter applied on device.
@@ -735,7 +747,7 @@ def _align_pairs_packed(genome, sorted_kmers, sorted_posflip, bucket_lo, u2,
     out = _align_core(
         genome, sorted_kmers, sorted_posflip, bucket_lo, seqs, rc, plens,
         seed_len=seed_len, stride=stride, pad=pad, C=C, K=K, dlow=dlow,
-        dhigh=dhigh, bsteps=bsteps, sbits=sbits)
+        dhigh=dhigh, bsteps=bsteps, sbits=sbits, mh=mh)
     if c13:
         # C13 (AlignGraph.cpp:1261): both mates (se-ss-I)/size >= 0.6 and
         # (te-ts-D)/(te-ts) >= 0.6; 0.6 == 3/5 so the compare is exact in

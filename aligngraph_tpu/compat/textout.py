@@ -134,3 +134,56 @@ def psl_lines(ali: ContigAlignments, chunk_ids: List[str],
             len(segs), bs, qs, ts,
         ])))
     return lines
+
+
+def delta_lines(ali: ContigAlignments, chunk_ids: List[str],
+                chunk_sizes: List[int], rec_ids: List[str],
+                rec_starts: np.ndarray, rec_lens: np.ndarray) -> List[str]:
+    """ContigAlignments -> NUCMER .delta body as the reference's
+    `delta2psl` reader consumes it (AlignGraph.cpp:588-729): a
+    `>tname qname tlen qlen` header per record, a 1-based inclusive
+    coordinate line `tStart tEnd sStart sEnd` (sStart > sEnd encodes the
+    reverse strand; after the reader's swap the walked source positions
+    are aligned-orientation coords, matching our pos_map and the PSL
+    qStarts convention), then signed indel offsets: each value b emits
+    |b|-1 M columns followed by an I (b > 0, target-only) or D (b < 0,
+    source-only) column; trailing M columns are implicit; 0 terminates."""
+    lines: List[str] = []
+    for r in range(ali.n):
+        pm = np.asarray(ali.pos_map[r], np.int64)
+        aligned = np.nonzero(pm >= 0)[0]
+        if len(aligned) == 0:
+            continue
+        fr = int(ali.fr[r])
+        ss, se = int(aligned[0]), int(aligned[-1]) + 1
+        rid, t0 = _locate(int(pm[aligned[0]]), rec_starts)
+        base = int(rec_starts[rid])
+        t_lo = int(pm[aligned[0]]) - base
+        t_hi = int(pm[aligned[-1]]) - base
+        qname = chunk_ids[r]
+        qlen = int(chunk_sizes[r])
+        lines.append(f">{rec_ids[rid]} {qname} {int(rec_lens[rid])} "
+                     f"{qlen}")
+        if fr:
+            coords = f"{t_lo + 1} {t_hi + 1} {se} {ss + 1}"
+        else:
+            coords = f"{t_lo + 1} {t_hi + 1} {ss + 1} {se}"
+        lines.append(coords)
+        # M/I/D column walk over [ss, se)
+        m_run = 0
+        prev_t = int(pm[ss])
+        m_run = 1
+        for i in range(ss + 1, se):
+            t = int(pm[i])
+            if t < 0:                       # source-only column: D
+                lines.append(str(-(m_run + 1)))
+                m_run = 0
+                continue
+            gap = t - prev_t - 1
+            for _ in range(gap):            # target-only columns: I
+                lines.append(str(m_run + 1))
+                m_run = 0
+            prev_t = t
+            m_run += 1
+        lines.append("0")
+    return lines

@@ -70,8 +70,16 @@ class Config:
     unique_extension: bool = False   # hidden flag, AlignGraph.cpp:4598
 
     # Engine knobs that have no reference analog (ours; all deterministic)
-    seed_len: int = 15               # exact-match seed length (odd, <=15)
+    # 13 (not 15): 2*13 = 26 bits fits the 26-bit prefix table exactly, so
+    # big-genome seed lookups are direct-addressed (suffix_bits = 0 — no
+    # binary probes, no key-row gather; ~28 ms/32k-pair batch saved on
+    # v5e).  Shorter seeds are also strictly more sensitive; specificity
+    # is restored by the candidate voting + DP score-min filters.
+    seed_len: int = 13               # exact-match seed length (odd, <=13)
     seed_stride: int = 12            # seed sampling stride along the read
+    max_seed_hits: int = 8           # repetitive-seed cutoff (see BASELINE.md
+                                     # recall table: 8 is lossless at E. coli
+                                     # scale; raise for repeat-heavy genomes)
     band_pad: int = 16               # banded-DP half-band beyond seed diagonal
     max_candidates: int = 4          # candidate diagonals per read before DP
     # k-mer graph build backend: "host" (numpy oracle) or "device" (jitted

@@ -57,19 +57,73 @@ def banded_sw_auto(reads, rlens, windows, pad: int) -> "SWResult":
     return banded_sw(reads, rlens, windows, pad=pad)
 
 
-def banded_sw_posmap_auto(reads, rlens, windows, g0, pad: int):
+def gapless_diag(reads, rlens, windows, pad: int):
+    """Best gapless local run along the seed diagonal (band b == pad).
+
+    Returns (best [B], start [B], end_incl [B]) — read-base indices of
+    the maximum-score ungapped substring match, with the DP's own
+    tie-breaks: earliest best end row (the kernel keeps the first row
+    achieving the max) and latest preceding zero-reset (a re-achieved
+    prefix minimum resets H to 0, so the DP path starts at the LAST
+    minimum).  When best == the banded-DP score, a gapless alignment
+    attains the optimum and traceback can be skipped entirely (most
+    reads are indel-free — the fast path behind banded_sw_posmap_auto).
+    """
+    B, L = reads.shape
+    r = reads.astype(jnp.int32)
+    w = windows[:, pad:pad + L].astype(jnp.int32)
+    eq = (r == w) & (r < 4)
+    anyn = (r >= 4) | (w >= 4)
+    s = jnp.where(eq, MATCH, jnp.where(anyn, N_PEN, MISMATCH))
+    j = jnp.arange(L, dtype=jnp.int32)
+    s = jnp.where(j[None, :] < rlens[:, None], s, -(10 ** 6))
+    S0 = jnp.concatenate(
+        [jnp.zeros((B, 1), jnp.int32), jnp.cumsum(s, axis=1)], axis=1)
+    minpfx = jax.lax.cummin(S0, axis=1)
+    ends = S0[:, 1:] - minpfx[:, :-1]          # best sum ending AT base j
+    best = jnp.maximum(jnp.max(ends, axis=1), 0)
+    ge = jnp.argmax(ends, axis=1).astype(jnp.int32)   # first max
+    # start = LAST argmin of S0[0..ge]
+    jj = jnp.arange(L + 1, dtype=jnp.int32)
+    vals = jnp.where(jj[None, :] <= ge[:, None], S0, 2 ** 30)
+    minv = jnp.min(vals, axis=1)
+    is_min = vals == minv[:, None]
+    gs = (L - jnp.argmax(is_min[:, ::-1], axis=1)).astype(jnp.int32)
+    return best, gs, ge
+
+
+def banded_sw_posmap_auto(reads, rlens, windows, g0, pad: int,
+                          smin=None):
     """DP + traceback -> (score [B], pos_map [B, L]); platform dispatch.
 
-    On TPU this is the fused Pallas pair (DP kernel + row-sweep traceback
-    kernel, traceback bits stay in tiled VMEM layout); elsewhere the XLA
-    DP + gather-walk traceback.  Results are bit-equal (tested)."""
+    Both backends apply the gapless fast path: lanes whose banded score
+    is attained by an ungapped run on the seed diagonal get their
+    pos_map synthesized directly (one iota range); only the rest walk
+    traceback bits.  `smin` [B] (optional) is the caller's acceptance
+    floor — lanes scoring below it are filtered downstream, so their
+    pos_map is the synthesized diagonal run rather than a traceback
+    walk (junk candidates dominate the traceback set otherwise).  On
+    TPU the traceback kernel runs on a COMPACTED lane subset (see
+    banded_sw_pallas.banded_sw_posmap_fast); elsewhere the XLA
+    gather-walk runs on all lanes and the select keeps the semantics
+    identical (cross-backend equality tested)."""
     if jax.default_backend() != "cpu" and reads.shape[0] % 128 == 0:
         from aligngraph_tpu.ops.banded_sw_pallas import (
-            banded_sw_posmap_pallas,
+            banded_sw_posmap_fast,
         )
-        return banded_sw_posmap_pallas(reads, rlens, windows, g0, pad=pad)
+        return banded_sw_posmap_fast(reads, rlens, windows, g0, pad=pad,
+                                     smin=smin)
     res = banded_sw(reads, rlens, windows, pad=pad)
-    pm = sw_traceback(res.tb, res.best_i, res.best_b, g0, pad=pad)
+    pm_tb = sw_traceback(res.tb, res.best_i, res.best_b, g0, pad=pad)
+    gb, gs, ge = gapless_diag(reads, rlens, windows, pad)
+    need = res.score > gb
+    if smin is not None:
+        need = need & (res.score >= smin)
+    j = jnp.arange(reads.shape[1], dtype=jnp.int32)
+    syn_on = (~need[:, None]) & (res.score > 0)[:, None] \
+        & (j[None, :] >= gs[:, None]) & (j[None, :] <= ge[:, None])
+    pm_syn = jnp.where(syn_on, g0[:, None] + j[None, :], -1)
+    pm = jnp.where(need[:, None], pm_tb, pm_syn)
     return res.score, pm
 
 

@@ -24,7 +24,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from aligngraph_tpu.ops.banded_sw import (
-    GAP_EXT, GAP_OPEN, MATCH, MISMATCH, N_PEN, SWResult,
+    GAP_EXT, GAP_OPEN, MATCH, MISMATCH, N_PEN, SWResult, gapless_diag,
 )
 
 NEG = -(10**7)    # python int: jnp scalars would be captured consts
@@ -156,6 +156,48 @@ def banded_sw_pallas(reads, rlens, windows, pad: int) -> SWResult:
     tb_out = jnp.transpose(tb, (1, 0, 3, 2)).reshape(L8, B, W)[:L]
     return SWResult(score.reshape(B), bi.reshape(B), bb.reshape(B),
                     tb_out)
+
+
+def _kernel_score(r_ref, w_ref, len_ref, score_ref, *, L: int, W: int):
+    """Score-only DP (no traceback-bit writes): the gapless fast path
+    first pass — skipping the (nb, L8, W, TB) uint8 HBM writes."""
+    lens = len_ref[0, 0, :]
+
+    def slab(k, carry):
+        Hprev, Eprev, bs = carry
+        base = pl.multiple_of(k * SLAB, SLAB)
+        rslab = r_ref[0, pl.ds(base, SLAB), :].astype(jnp.int32)
+        wslab = w_ref[0, pl.ds(base, W + SLAB), :].astype(jnp.int32)
+        for j in range(SLAB):
+            i = k * SLAB + j + 1
+            rb = rslab[j][None, :]
+            wb = wslab[j:j + W]
+            eq = (rb == wb) & (rb < 4)
+            anyn = (rb >= 4) | (wb >= 4)
+            s = jnp.where(eq, MATCH, jnp.where(anyn, N_PEN, MISMATCH))
+            M = Hprev + s
+            e_open = _shift_up(Hprev, 1) - (GAP_OPEN + GAP_EXT)
+            e_ext = _shift_up(Eprev, 1) - GAP_EXT
+            E = jnp.maximum(e_open, e_ext)
+            Hno = jnp.maximum(jnp.maximum(M, E), 0)
+            G = Hno - GAP_OPEN
+            sh = 1
+            while sh < W:
+                G = jnp.maximum(G, _shift_down(G, sh) - GAP_EXT * sh)
+                sh *= 2
+            F = _shift_down(G, 1) - GAP_EXT
+            H = jnp.maximum(Hno, F)
+            valid = (i <= lens)[None, :]
+            Hm = jnp.where(valid, H, NEG)
+            bs = jnp.maximum(bs, jnp.max(Hm, axis=0))
+            Hprev, Eprev = H, E
+        return Hprev, Eprev, bs
+
+    H0 = jnp.zeros((W, TB), jnp.int32)
+    E0 = jnp.full((W, TB), NEG, jnp.int32)
+    z = jnp.zeros((TB,), jnp.int32)
+    _, _, bs = jax.lax.fori_loop(0, L // SLAB, slab, (H0, E0, z))
+    score_ref[0, 0, :] = bs
 
 
 def _masked_read(slab, b, W):
@@ -295,3 +337,151 @@ def banded_sw_posmap_pallas(reads, rlens, windows, g0, pad: int,
     # (nb, L8, TB) -> [B, L]
     pm_out = jnp.transpose(pm, (1, 0, 2)).reshape(L8, B).T[:, :L]
     return score.reshape(B), pm_out
+
+
+def _dp_tiled(reads, rlens, windows, pad: int, interpret: bool):
+    """Full DP (with traceback bits) in the tiled layout."""
+    B, L = reads.shape
+    W = 2 * pad
+    nb = B // TB
+    L8 = ((L + SLAB - 1) // SLAB) * SLAB
+    if L8 != L:
+        reads = jnp.pad(reads, ((0, 0), (0, L8 - L)), constant_values=4)
+        windows = jnp.pad(windows, ((0, 0), (0, L8 - L)),
+                          constant_values=4)
+    reads_t = reads.T.reshape(L8, nb, TB).swapaxes(0, 1)
+    win_t = windows.T.reshape(L8 + W, nb, TB).swapaxes(0, 1)
+    lens_t = rlens.reshape(nb, 1, TB)
+    kernel = functools.partial(_kernel, L=L8, W=W)
+    return pl.pallas_call(
+        kernel,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((1, L8, TB), lambda t: (t, 0, 0)),
+            pl.BlockSpec((1, L8 + W, TB), lambda t: (t, 0, 0)),
+            pl.BlockSpec((1, 1, TB), lambda t: (t, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, L8, W, TB), lambda t: (t, 0, 0, 0)),
+            pl.BlockSpec((1, 1, TB), lambda t: (t, 0, 0)),
+            pl.BlockSpec((1, 1, TB), lambda t: (t, 0, 0)),
+            pl.BlockSpec((1, 1, TB), lambda t: (t, 0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((nb, L8, W, TB), jnp.uint8),
+            jax.ShapeDtypeStruct((nb, 1, TB), jnp.int32),
+            jax.ShapeDtypeStruct((nb, 1, TB), jnp.int32),
+            jax.ShapeDtypeStruct((nb, 1, TB), jnp.int32),
+        ],
+        interpret=interpret,
+    )(reads_t, win_t, lens_t)
+
+
+def _traceback_tiled(tb, bi, bb, g0, L: int, pad: int, interpret: bool):
+    """Row-sweep traceback over tiled tb bits -> pos_map [B, L]."""
+    nb, L8, W, _ = tb.shape
+    B = nb * TB
+    tbk = functools.partial(_tb_kernel, L=L8, W=W, pad=pad)
+    pm = pl.pallas_call(
+        tbk,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((1, L8, W, TB), lambda t: (t, 0, 0, 0)),
+            pl.BlockSpec((1, 1, TB), lambda t: (t, 0, 0)),
+            pl.BlockSpec((1, 1, TB), lambda t: (t, 0, 0)),
+            pl.BlockSpec((1, 1, TB), lambda t: (t, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, L8, TB), lambda t: (t, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((nb, L8, TB), jnp.int32),
+        interpret=interpret,
+    )(tb, bi.reshape(nb, 1, TB), bb.reshape(nb, 1, TB),
+      g0.reshape(nb, 1, TB))
+    return jnp.transpose(pm, (1, 0, 2)).reshape(L8, B).T[:, :L]
+
+
+@functools.partial(jax.jit, static_argnames=("pad", "interpret"))
+def banded_sw_posmap_fast(reads, rlens, windows, g0, pad: int,
+                          smin=None, interpret: bool = False):
+    """Two-pass DP with the gapless fast path.
+
+    Pass 1 is a score-only DP (no traceback-bit HBM writes).  Lanes
+    whose banded score equals the gapless best on the seed diagonal
+    (most 100bp reads) get pos_map synthesized as one iota range.  The
+    remaining lanes are compacted to the front (cheap input-row
+    gathers — reads/windows, not the 300+ MB bit tensor) and re-run
+    through the full DP + traceback on ceil(B/4) lanes.  If more lanes
+    than that need traceback (indel-heavy batch), the full-lane pass
+    runs instead — identical results either way, and identical to the
+    CPU auto path (tested)."""
+    B, L = reads.shape
+    W = 2 * pad
+    assert B % TB == 0
+    nb = B // TB
+    L8 = ((L + SLAB - 1) // SLAB) * SLAB
+
+    readsp = reads
+    windowsp = windows
+    if L8 != L:
+        readsp = jnp.pad(reads, ((0, 0), (0, L8 - L)), constant_values=4)
+        windowsp = jnp.pad(windows, ((0, 0), (0, L8 - L)),
+                           constant_values=4)
+    reads_t = readsp.T.reshape(L8, nb, TB).swapaxes(0, 1)
+    win_t = windowsp.T.reshape(L8 + W, nb, TB).swapaxes(0, 1)
+    lens_t = rlens.reshape(nb, 1, TB)
+
+    skern = functools.partial(_kernel_score, L=L8, W=W)
+    score = pl.pallas_call(
+        skern,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((1, L8, TB), lambda t: (t, 0, 0)),
+            pl.BlockSpec((1, L8 + W, TB), lambda t: (t, 0, 0)),
+            pl.BlockSpec((1, 1, TB), lambda t: (t, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, 1, TB), lambda t: (t, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((nb, 1, TB), jnp.int32),
+        interpret=interpret,
+    )(reads_t, win_t, lens_t)
+    score_f = score.reshape(B)
+    g0_i = g0.astype(jnp.int32)
+
+    gb, gs, ge = gapless_diag(reads, rlens, windows, pad)
+    need = score_f > gb
+    if smin is not None:
+        # sub-acceptance lanes are filtered downstream: synthesized
+        # diagonal maps suffice, keeping the traceback set small
+        need = need & (score_f >= smin)
+    j = jnp.arange(L, dtype=jnp.int32)
+    syn_on = (~need[:, None]) & (score_f > 0)[:, None] \
+        & (j[None, :] >= gs[:, None]) & (j[None, :] <= ge[:, None])
+    pm_syn = jnp.where(syn_on, g0_i[:, None] + j[None, :], -1)
+
+    TOPT = max(TB, ((B // 4) + TB - 1) // TB * TB)
+    n_need = jnp.sum(need.astype(jnp.int32))
+    # lane permutation: traceback-needing lanes first (stable)
+    _, perm = jax.lax.sort(
+        ((~need).astype(jnp.int32), jnp.arange(B, dtype=jnp.int32)),
+        num_keys=1, is_stable=True)
+
+    def compact_path(_):
+        sel = perm[:TOPT]
+        sneed = need[sel]
+        tb_c, _, bi_c, bb_c = _dp_tiled(
+            reads[sel], jnp.where(sneed, rlens[sel], 0), windows[sel],
+            pad, interpret)
+        pm_c = _traceback_tiled(
+            tb_c, jnp.where(sneed, bi_c.reshape(TOPT), 0),
+            bb_c.reshape(TOPT), g0_i[sel], L, pad, interpret)
+        upd = jnp.where(sneed[:, None], pm_c, pm_syn[sel])
+        return pm_syn.at[sel].set(upd)
+
+    def full_path(_):
+        tb_a, _, bi_a, bb_a = _dp_tiled(reads, rlens, windows, pad,
+                                        interpret)
+        pm_f = _traceback_tiled(
+            tb_a, jnp.where(need, bi_a.reshape(B), 0), bb_a.reshape(B),
+            g0_i, L, pad, interpret)
+        return jnp.where(need[:, None], pm_f, pm_syn)
+
+    pm = jax.lax.cond(n_need <= TOPT, compact_path, full_path, 0)
+    return score_f, pm

@@ -155,6 +155,11 @@ def build_index(genome_codes: np.ndarray, seed_len: int = 15) -> SeedIndex:
     # a finer table shrinks the largest bucket and hence the probe count)
     prefix_bits = min(26, 2 * seed_len,
                       max(14, int(np.ceil(np.log2(max(len(kmers), 2)))) + 2))
+    if 2 * seed_len <= 26 and len(kmers) >= (1 << 20):
+        # big genome + short seed: pay for the full-width table (<=256 MB)
+        # so lookups are direct-addressed (suffix_bits == 0 -> no binary
+        # probes, no key-row gather; ~28 ms/32k-pair batch on v5e)
+        prefix_bits = 2 * seed_len
     suffix_bits = 2 * seed_len - prefix_bits
     n_buckets = 1 << prefix_bits
     counts = np.bincount(sorted_kmers >> suffix_bits, minlength=n_buckets)
@@ -167,7 +172,8 @@ def build_index(genome_codes: np.ndarray, seed_len: int = 15) -> SeedIndex:
         sorted_kmers_np=sorted_kmers,
         sorted_posflip_np=posflip[order],
         bucket_lo_np=bucket_lo,
-        search_steps=max(1, int(np.ceil(np.log2(max_bucket + 1))) + 1),
+        search_steps=(0 if suffix_bits == 0 else
+                      max(1, int(np.ceil(np.log2(max_bucket + 1))) + 1)),
         suffix_bits=suffix_bits,
     )
 
@@ -261,6 +267,19 @@ def lookup_seeds_bucketed(sorted_kmers, sorted_posflip, bucket_lo, packed,
     # (lo0, hi0) are adjacent table entries: one 2-wide row gather
     lohi = _slice_gather(bucket_lo, prefix, 2)
     lo, hi = lohi[..., 0], lohi[..., 1]
+    if suffix_bits == 0:
+        # direct-addressed table: the bucket IS the exact k-mer run, so
+        # (lo, hi) already bound it — no binary probes, no key gather
+        # (the dominant seeding cost at 15-mers: ~28 ms/32k-pair batch
+        # on v5e, measured round 5)
+        count = hi - lo
+        ok = (
+            valid[..., None]
+            & (count[..., None] <= max_hits)
+            & (jnp.arange(max_hits) < count[..., None])
+        )
+        pf = _slice_gather(sorted_posflip, lo, max_hits)
+        return pf, ok
     for _ in range(steps):
         go = lo < hi
         mid = (lo + hi) >> 1

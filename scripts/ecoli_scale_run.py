@@ -32,20 +32,18 @@ def main():
 
     rng = np.random.default_rng(7)
     t0 = time.time()
-    # target + reference + reads (vectorized simulation from bench)
-    ref, data, lens = make_workload(genome_len=glen, n_pairs=n_pairs,
-                                    seed=7)
-    # bench simulates reads from `target` and returns the mutated ref;
-    # regenerate target to cut contigs from it
-    target = np.random.default_rng(7).integers(0, 4, glen).astype(np.int8)
+    # target + reference + reads (vectorized simulation from bench);
+    # return_target avoids replaying the RNG to recover the target
+    ref, data, lens, target = make_workload(
+        genome_len=glen, n_pairs=n_pairs, seed=7, return_target=True)
     reads = Reads(n_pairs, data.shape[1], data, lens)
 
-    # draft contigs: ~20kb fragments with ~2kb gaps
-    contig_seqs, pos = [], 0
-    while pos + 25_000 < glen:
-        ln = int(rng.integers(12_000, 28_000))
-        contig_seqs.append(target[pos:pos + ln])
-        pos += ln + int(rng.integers(1000, 3000))
+    # draft contigs from the SAME generator bench_pipeline uses (~3 kb
+    # fragments with 50-400 bp insert-bridgeable gaps) — the round-3
+    # 12-28 kb / 1-3 kb-gap workload could not be bridged by a 500 bp
+    # insert and silently produced zero output (round-4 verdict #6)
+    from bench_pipeline import cut_contigs
+    contig_seqs = cut_contigs(rng, target)
     print(f"setup: {len(contig_seqs)} contigs, {n_pairs} pairs, "
           f"{glen/1e6:.1f} Mb genome [{time.time()-t0:.1f}s]",
           file=sys.stderr)
@@ -77,6 +75,8 @@ def main():
         "align_s": round(res.align_seconds, 1),
         "kmer_stats": res.stats.get("kmer_build"),
     }))
+    assert len(res.extended_ids) > 0, \
+        "scale run produced ZERO extended contigs — workload miscalibrated"
 
     # evaluate extended contigs vs the TARGET
     write_fasta(f"{d}/target.fa", ["chr"], [decode(target)])

@@ -110,11 +110,62 @@ def main():
     bufs = np.asarray(multihost_utils.process_allgather(out2["buf"],
                                                         tiled=True))
 
+    # ---- (c) position-sharded k-mer GRAPH build across processes ----
+    # (D2/D3: km_*/ed_* tensors sharded over the 2-process mesh; row
+    # routing / slot give-back / edge candidates ride all_to_all across
+    # the process boundary.  Parent compares vs the host oracle.)
+    from aligngraph_tpu.align.read_aligner import ReadAligner
+    from aligngraph_tpu.config import THRESHOLD
+    from aligngraph_tpu.graph.model import GraphTensors
+    from aligngraph_tpu.io.formalize import Reads
+    from aligngraph_tpu.parallel.kmer_shard import build_kmer_layer_sharded
+    from aligngraph_tpu.pipeline.driver import _subset_pairs
+    from jax.sharding import Mesh
+
+    ref = np.asarray(sim.reference, np.int8)
+    kreads = Reads(n, L, data, plens)
+    krali = ReadAligner.build(ref, cfg).align(kreads)
+    krali = _subset_pairs(krali, krali.ratio_ok(THRESHOLD))
+    g_sh = GraphTensors.create(ref)
+    kmesh = Mesh(np.array(jax.devices()[:n_dev]), ("pos",))
+
+    def mput(a, spec):
+        a = np.asarray(a)
+        if spec == P("pos"):
+            per = -(-a.shape[0] // nproc)
+            pad = nproc * per - a.shape[0]
+            if pad:
+                a = np.concatenate(
+                    [a, np.zeros((pad,) + a.shape[1:], a.dtype)])
+            loc = a[pid * per:(pid + 1) * per]
+        else:
+            loc = a
+        return multihost_utils.host_local_array_to_global_array(
+            loc, kmesh, spec)
+
+    def mget(v):
+        return np.asarray(
+            multihost_utils.process_allgather(v, tiled=True))
+
+    # note: mput pads the leading axis to a multiple of nproc; the
+    # build pads to a multiple of n_dev itself first, so shapes agree
+    build_kmer_layer_sharded(g_sh, krali, kreads, cfg.k_mer,
+                             cfg.insert_variation, kmesh,
+                             put=mput, get=mget)
+
     if pid == 0:
+        import dataclasses as _dc
+        rec = {f"rali_{fld.name}": getattr(krali, fld.name)
+               for fld in _dc.fields(krali)}
         np.savez(os.path.join(outdir, "result.npz"), cov=cov,
                  starts=starts, ends=ends, G=G,
                  n_valid_total=n_valid_total,
-                 bufs=bufs.reshape(n_dev, -1), pl=pl)
+                 bufs=bufs.reshape(n_dev, -1), pl=pl,
+                 reads_data=data, ref=ref,
+                 km_cnt=g_sh.km_cnt, km_cov=g_sh.km_cov,
+                 km_votes=g_sh.km_votes, km_s=g_sh.km_s,
+                 ed_cnt=g_sh.ed_cnt, ed_pos=g_sh.ed_pos.view(np.int32),
+                 ed_item=g_sh.ed_item, **rec)
     jax.distributed.shutdown()
     print(f"worker {pid} done", flush=True)
 

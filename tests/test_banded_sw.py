@@ -211,3 +211,65 @@ def test_posmap_pallas_interpret_equals_xla():
     np.testing.assert_array_equal(np.asarray(res.score),
                                   np.asarray(score_p))
     np.testing.assert_array_equal(np.asarray(pm_ref), np.asarray(pm_p))
+
+
+def test_posmap_fast_interpret_equals_cpu_auto():
+    """Gapless-fast-path variants must agree: the compacted Pallas
+    traceback (interpret mode) vs the CPU auto path (XLA traceback +
+    gapless select)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from aligngraph_tpu.ops.banded_sw import (
+        banded_sw, gapless_diag, sw_traceback)
+    from aligngraph_tpu.ops.banded_sw_pallas import banded_sw_posmap_fast
+
+    rng = np.random.default_rng(33)
+    B, L, pad = 256, 60, 8
+    genome = rng.integers(0, 4, 5000).astype(np.int8)
+    reads = np.full((B, L), 4, np.int8)
+    rlens = np.zeros(B, np.int32)
+    g0 = np.zeros(B, np.int32)
+    for i in range(B):
+        ln = int(rng.integers(30, L + 1))
+        st = int(rng.integers(0, len(genome) - ln - 2 * pad))
+        seq = genome[st:st + ln].copy()
+        mi = rng.random(ln) < 0.04
+        seq[mi] = (seq[mi] + rng.integers(1, 4, mi.sum())) % 4
+        if rng.random() < 0.3 and ln > 10:   # ~30% of lanes get an indel
+            cut = int(rng.integers(5, ln - 5))
+            seq = np.concatenate([seq[:cut], seq[cut + 2:]])
+            ln = len(seq)
+        reads[i, :ln] = seq
+        rlens[i] = ln
+        g0[i] = st
+    rlens[::23] = 0
+    wl = L + 2 * pad
+    x = g0[:, None] - pad + np.arange(wl)[None, :]
+    windows = np.where((x >= 0) & (x < len(genome)),
+                       genome[np.clip(x, 0, len(genome) - 1)],
+                       np.int8(4)).astype(np.int8)
+
+    # CPU auto semantics, spelled out
+    res = banded_sw(jnp.asarray(reads), jnp.asarray(rlens),
+                    jnp.asarray(windows), pad=pad)
+    pm_tb = sw_traceback(res.tb, res.best_i, res.best_b,
+                         jnp.asarray(g0), pad=pad)
+    gb, gs, ge = gapless_diag(jnp.asarray(reads), jnp.asarray(rlens),
+                              jnp.asarray(windows), pad)
+    need = np.asarray(res.score > gb)
+    j = np.arange(L)
+    syn_on = (~need[:, None]) & (np.asarray(res.score) > 0)[:, None] \
+        & (j[None, :] >= np.asarray(gs)[:, None]) \
+        & (j[None, :] <= np.asarray(ge)[:, None])
+    pm_ref = np.where(need[:, None], np.asarray(pm_tb),
+                      np.where(syn_on, g0[:, None] + j[None, :], -1))
+    # gapless lanes must score identically through the synthesized map
+    assert need.sum() < B // 2 and (~need).sum() > 0
+
+    score_f, pm_f = banded_sw_posmap_fast(
+        jnp.asarray(reads), jnp.asarray(rlens), jnp.asarray(windows),
+        jnp.asarray(g0), pad=pad, interpret=True)
+    np.testing.assert_array_equal(np.asarray(res.score),
+                                  np.asarray(score_f))
+    np.testing.assert_array_equal(pm_ref, np.asarray(pm_f))

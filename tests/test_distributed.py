@@ -90,3 +90,26 @@ def test_two_process_distributed(tmp_path):
                   "target_start", "target_end", "pos_map"):
         np.testing.assert_array_equal(got[field], getattr(want, field),
                                       err_msg=field)
+
+    # (c) sharded k-mer GRAPH build across the process boundary ==
+    # host oracle built from the SAME records (D2/D3)
+    import dataclasses as _dc
+
+    from aligngraph_tpu.align.types import PairAlignments
+    from aligngraph_tpu.graph.kmer_layer import build_kmer_layer
+    from aligngraph_tpu.graph.model import GraphTensors
+
+    krali = PairAlignments(**{
+        f.name: res[f"rali_{f.name}"]
+        for f in _dc.fields(PairAlignments)})
+    kreads = Reads(n, L, res["reads_data"], reads_lens)
+    g_h = GraphTensors.create(res["ref"])
+    build_kmer_layer(g_h, krali, kreads, cfg.k_mer, cfg.insert_variation,
+                     chunk_records=1 << 30)
+    for f in ("km_cnt", "km_cov", "km_votes", "km_s", "ed_cnt",
+              "ed_item"):
+        np.testing.assert_array_equal(res[f], getattr(g_h, f),
+                                      err_msg=f)
+    np.testing.assert_array_equal(res["ed_pos"],
+                                  g_h.ed_pos.view(np.int32))
+    assert res["km_cnt"].sum() > 0

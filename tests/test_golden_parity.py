@@ -130,21 +130,22 @@ MATRIX = [
     # (name, extra reference argv, Config overrides, n_chromosomes)
     ("uniqueExtension", ["--uniqueExtension"],
      dict(unique_extension=True), 1),
+    # part2's contigs are confined to the FIRST part: the reference binary
+    # has genuine UB when a part index >= #chromosomes emits an extended
+    # contig (`genomeIds[i]` OOB, AlignGraph.cpp:3102 — verified by
+    # instrumented source build, see PARITY.md), so the golden workload
+    # must keep refinement emissions in part 0.  Reads still cover the
+    # whole genome, so the --part demux + boundary cut stay exercised.
     ("part2", ["--part", "2"], dict(part=2), 1),
     ("multichrom_iterativeMap", ["--iterativeMap"],
      dict(iterative_map=True), 3),
+    ("fastMap", ["--fastMap"], dict(fast_map=True), 1),
+    ("misassemblyRemoval", ["--misassemblyRemoval"],
+     dict(misassembly_removal=True), 1),
 ]
 
 
-@pytest.mark.parametrize("name,ref_args,overrides,n_chrom",
-                         MATRIX, ids=[m[0] for m in MATRIX])
-def test_golden_flag_matrix(tmp_path, name, ref_args, overrides, n_chrom):
-    """Reference binary (via shims) vs our pipeline under non-default
-    flags: final outputs must match id-for-id and base-for-base."""
-    from aligngraph_tpu.config import Config
-    from aligngraph_tpu.pipeline.driver import run_pipeline
-
-    wd = tmp_path
+def _write_matrix_inputs(wd, name, n_chrom):
     sim = make_simdata(seed=7 + n_chrom, genome_len=12_000 * n_chrom,
                        n_pairs=600 * n_chrom, read_len=100, insert=500,
                        snp_rate=0.01)
@@ -163,10 +164,18 @@ def test_golden_flag_matrix(tmp_path, name, ref_args, overrides, n_chrom):
     write_fasta(wd / "reads_2.fa",
                 [f"r{i}" for i in range(len(sim.reads2))],
                 [decode(s) for s in sim.reads2])
+    contigs = sim.contigs
+    if name == "part2":
+        half = len(sim.reference) // 2
+        contigs = [c for c, (s, e) in zip(sim.contigs, sim.contig_pos)
+                   if e < half - 600]
+        assert contigs, "part2 workload needs first-part contigs"
     write_fasta(wd / "contigs.fa",
-                [f"c{i}" for i in range(len(sim.contigs))],
-                [decode(s) for s in sim.contigs])
+                [f"c{i}" for i in range(len(contigs))],
+                [decode(s) for s in contigs])
 
+
+def _run_reference(wd, ref_args, timeout=1200):
     env = dict(os.environ)
     env["PATH"] = SHIMS + os.pathsep + env.get("PATH", "")
     env["JAX_PLATFORMS"] = "cpu"
@@ -178,9 +187,34 @@ def test_golden_flag_matrix(tmp_path, name, ref_args, overrides, n_chrom):
          "--distanceLow", "200", "--distanceHigh", "800",
          "--extendedContig", "ref_extended.fa",
          "--remainingContig", "ref_remaining.fa"] + ref_args,
-        cwd=wd, env=env, capture_output=True, text=True, timeout=1200)
+        cwd=wd, env=env, capture_output=True, text=True, timeout=timeout)
     sys.stderr.write(proc.stdout[-1500:] + proc.stderr[-1500:])
     assert proc.returncode == 0, f"reference binary failed: {proc.stderr}"
+
+
+def _assert_outputs_match(wd, ref_names=("ref_extended.fa",
+                                         "ref_remaining.fa"),
+                          our_names=("our_extended.fa",
+                                     "our_remaining.fa")):
+    for rn, on in zip(ref_names, our_names):
+        ref = _fasta_map(wd / rn)
+        got = _fasta_map(wd / on)
+        assert set(ref.keys()) == set(got.keys()), f"{rn} ids differ"
+        for k in ref:
+            assert got[k] == ref[k], f"{rn}: sequence {k} differs"
+
+
+@pytest.mark.parametrize("name,ref_args,overrides,n_chrom",
+                         MATRIX, ids=[m[0] for m in MATRIX])
+def test_golden_flag_matrix(tmp_path, name, ref_args, overrides, n_chrom):
+    """Reference binary (via shims) vs our pipeline under non-default
+    flags: final outputs must match id-for-id and base-for-base."""
+    from aligngraph_tpu.config import Config
+    from aligngraph_tpu.pipeline.driver import run_pipeline
+
+    wd = tmp_path
+    _write_matrix_inputs(wd, name, n_chrom)
+    _run_reference(wd, ref_args)
 
     cfg = Config(
         read1=str(wd / "reads_1.fa"), read2=str(wd / "reads_2.fa"),
@@ -191,10 +225,77 @@ def test_golden_flag_matrix(tmp_path, name, ref_args, overrides, n_chrom):
         work_dir=str(wd / "our_tmp"), **overrides)
     run_pipeline(cfg)
 
-    ref_e = _fasta_map(wd / "ref_extended.fa")
-    got_e = _fasta_map(wd / "our_extended.fa")
-    assert set(ref_e.keys()) == set(got_e.keys())
-    for k in ref_e:
-        assert got_e[k] == ref_e[k], f"extended contig {k} differs"
-    assert _fasta_map(wd / "ref_remaining.fa") == \
-        _fasta_map(wd / "our_remaining.fa")
+    _assert_outputs_match(wd)
+    if name == "misassemblyRemoval":
+        # the post-pass writes corrected_<file> next to each output
+        _assert_outputs_match(
+            wd,
+            ref_names=("corrected_ref_extended.fa",
+                       "corrected_ref_remaining.fa"),
+            our_names=("corrected_our_extended.fa",
+                       "corrected_our_remaining.fa"))
+
+
+def test_golden_ecoli_scale(tmp_path):
+    """One >=1 Mb golden run (E. coli-class config 1 shape): reference
+    binary via shims vs our pipeline, byte-for-byte outputs.  Depth ~7x
+    with --coverage 6 keeps the read layer live without needing 100k+
+    pairs on the CPU shim path."""
+    from aligngraph_tpu.config import Config
+    from aligngraph_tpu.pipeline.driver import run_pipeline
+
+    wd = tmp_path
+    sim = make_simdata(seed=31, genome_len=1_000_000, n_pairs=35_000,
+                       read_len=100, insert=500, snp_rate=0.01,
+                       n_contigs=120)
+    write_fasta(wd / "genome.fa", ["chr0"], [decode(sim.reference)])
+    write_fasta(wd / "reads_1.fa",
+                [f"r{i}" for i in range(len(sim.reads1))],
+                [decode(s) for s in sim.reads1])
+    write_fasta(wd / "reads_2.fa",
+                [f"r{i}" for i in range(len(sim.reads2))],
+                [decode(s) for s in sim.reads2])
+    write_fasta(wd / "contigs.fa",
+                [f"c{i}" for i in range(len(sim.contigs))],
+                [decode(s) for s in sim.contigs])
+    _run_reference(wd, ["--coverage", "6"], timeout=2400)
+
+    cfg = Config(
+        read1=str(wd / "reads_1.fa"), read2=str(wd / "reads_2.fa"),
+        contig=str(wd / "contigs.fa"), genome=str(wd / "genome.fa"),
+        distance_low=200, distance_high=800, coverage=6,
+        extended_contig=str(wd / "our_extended.fa"),
+        remaining_contig=str(wd / "our_remaining.fa"),
+        work_dir=str(wd / "our_tmp"))
+    run_pipeline(cfg)
+    _assert_outputs_match(wd)
+
+
+def test_golden_resume(tmp_path):
+    """--resume golden parity: our pipeline, interrupted after the
+    alignment checkpoint and resumed with --resume as the only logical
+    flag, must still byte-match the reference binary's single run."""
+    from aligngraph_tpu.config import Config
+    from aligngraph_tpu.pipeline.checkpoint import Checkpoint
+    from aligngraph_tpu.pipeline.driver import run_pipeline
+
+    wd = tmp_path
+    _write_matrix_inputs(wd, "resume", 1)
+    _run_reference(wd, [])
+
+    cfg = Config(
+        read1=str(wd / "reads_1.fa"), read2=str(wd / "reads_2.fa"),
+        contig=str(wd / "contigs.fa"), genome=str(wd / "genome.fa"),
+        distance_low=200, distance_high=800,
+        extended_contig=str(wd / "our_extended.fa"),
+        remaining_contig=str(wd / "our_remaining.fa"),
+        work_dir=str(wd / "our_tmp"))
+    ckpt = Checkpoint(cfg.work_dir)
+    run_pipeline(cfg, checkpoint=ckpt)
+    assert ckpt.get() >= 0
+    # wipe the outputs, resume from the saved state only
+    os.remove(wd / "our_extended.fa")
+    os.remove(wd / "our_remaining.fa")
+    cfg2 = Config(resume=True, work_dir=str(wd / "our_tmp"))
+    run_pipeline(cfg2)
+    _assert_outputs_match(wd)

@@ -259,6 +259,37 @@ def test_bucketed_lookup_equals_searchsorted():
     assert aokn.sum() > 100
 
 
+def test_direct_addressed_lookup_equals_searchsorted():
+    """suffix_bits == 0 path (26-bit-table big-genome case, exercised
+    here cheaply with 7-mers: 2*7 = 14 <= the 14-bit prefix floor)."""
+    import jax.numpy as jnp
+
+    from aligngraph_tpu.ops.seeding import (
+        build_index, lookup_seeds, lookup_seeds_bucketed, pack_query_seeds,
+        rc_packed,
+    )
+
+    rng = np.random.default_rng(9)
+    genome = rng.integers(0, 4, 30_000).astype(np.int8)
+    idx = build_index(genome, 7)
+    assert idx.suffix_bits == 0 and idx.search_steps == 0
+    qs = np.full((64, 100), 4, np.int8)
+    for i in range(64):
+        s = rng.integers(0, len(genome) - 100)
+        qs[i] = genome[s:s + 100]
+    packed, offs, valid = pack_query_seeds(jnp.asarray(qs), 7, 8)
+    pcan = jnp.minimum(packed, rc_packed(packed, 7))
+    a, aok = lookup_seeds(idx.sorted_kmers, idx.sorted_posflip, pcan,
+                          valid, 8)
+    b, bok = lookup_seeds_bucketed(idx.sorted_kmers, idx.sorted_posflip,
+                                   idx.bucket_lo, pcan, valid, 8,
+                                   idx.search_steps, idx.suffix_bits)
+    np.testing.assert_array_equal(np.asarray(aok), np.asarray(bok))
+    aokn = np.asarray(aok)
+    np.testing.assert_array_equal(np.asarray(a)[aokn], np.asarray(b)[aokn])
+    assert aokn.sum() > 100
+
+
 def test_canonical_index_roundtrip():
     """Every genome k-mer must be findable through its canonical form,
     with the flip bit recovering the original orientation."""

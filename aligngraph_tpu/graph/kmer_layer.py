@@ -50,7 +50,6 @@ from aligngraph_tpu.io.formalize import Reads
 
 _COMP = np.array([3, 2, 1, 0, 4], dtype=np.int8)
 NONE = np.int64(-1)
-R_CAP = 24          # max distinct groups merged per position per batch
 CPO = 2             # own-ContiMer cross-product cap
 CPM = 2             # mate-ContiMer cross-product cap
 
@@ -60,7 +59,9 @@ class KmerBuildStats:
     tuples: int = 0
     rows: int = 0
     groups: int = 0
-    dropped_rank: int = 0     # groups beyond R_CAP
+    dropped_rank: int = 0     # always 0 since round 5 (the rank cap was
+                              # removed with the exact first-fit rounds);
+                              # kept for stats-schema stability
     dropped_slots: int = 0    # groups beyond K_KM slots
     dropped_edges: int = 0
 

@@ -303,7 +303,7 @@ def _chunk_update(state, cmpack, p1, p2, s1, lens, keep, *, k, win,
     # pending group to its first compatible slot (per-group gathers of
     # the resident slot rows), then (b) the earliest-arrival pending
     # group per position creates one new slot.  Rounds are bounded by
-    # the K_KM cap; no [R_CAP, n_pos, F] grid is materialized.
+    # the K_KM cap; no dense position grid is materialized.
     wR = jnp.where(g_ok, g_pos + 1, 1 << 30)
     gidx = jnp.arange(G_cap, dtype=I32)
     wR_s, _, gsort = jax.lax.sort((wR, g_first, gidx), num_keys=2,

@@ -354,9 +354,12 @@ def _window_slices(genome: jax.Array, start: jax.Array, WL: int,
     gp = jnp.concatenate([
         jnp.full((FP,), 4, jnp.int8), genome,
         jnp.full((T - FP - G,), 4, jnp.int8)])
-    v = gp.reshape(-1, 4).astype(jnp.int32)
-    words = (v[:, 0] | (v[:, 1] << 8) | (v[:, 2] << 16)
-             | (v[:, 3] << 24)).reshape(-1, 8)       # [T/32, 8]
+    # strided 1-D slices, NOT gp.reshape(-1, 4): XLA lays a [T/4, 4]
+    # int32 intermediate out as T(8,128) (minor dim padded 4 -> 128), a
+    # 32x blowup that OOMs HBM at a 200 Mb genome (25.6 GB observed)
+    g32 = gp.astype(jnp.int32)
+    words = (g32[0::4] | (g32[1::4] << 8) | (g32[2::4] << 16)
+             | (g32[3::4] << 24)).reshape(-1, 8)     # [T/32, 8]
     lo = jnp.clip(start + FP, 0, G + FP).astype(jnp.int32)
     rows = words[(lo >> 5)[:, None] + jnp.arange(NR, dtype=jnp.int32)]
     ww = rows.reshape(B, NR * 8)

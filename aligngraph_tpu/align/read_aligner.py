@@ -102,6 +102,22 @@ def revcomp_padded_np(seqs: np.ndarray, lens: np.ndarray) -> np.ndarray:
     return np.where(ok, _COMP_NP[vals], np.int8(4))
 
 
+WORDS_FP = 8192   # fixed front/back pad of the packed word table
+
+
+def pack_genome_words_np(genome_codes: np.ndarray) -> np.ndarray:
+    """Host: genome int8 codes -> the 32-byte-aligned word table
+    [T/32, 8] int32 that _window_slices row-gathers (padding value 4 on
+    both flanks; front pad WORDS_FP covers negative window starts)."""
+    G = len(genome_codes)
+    T = (WORDS_FP + G + WORDS_FP + 31) // 32 * 32
+    gp = np.full(T, 4, np.int8)
+    gp[WORDS_FP:WORDS_FP + G] = genome_codes
+    v = gp.reshape(-1, 4).astype(np.int32)
+    return (v[:, 0] | (v[:, 1] << 8) | (v[:, 2] << 16)
+            | (v[:, 3] << 24)).reshape(-1, 8)
+
+
 def _candidate_stats(pos_map, qlens):
     """parseBOWTIE-equivalent quantities from a position map.
 
@@ -192,13 +208,17 @@ class ReadAligner:
     cfg: Config
     batch_pairs: int = 32768
     c13: bool = True
+    gwords: Optional[jax.Array] = None   # pack_genome_words_np table
+    glen: int = 0
 
     @classmethod
     def build(cls, genome_codes: np.ndarray, cfg: Config,
               batch_pairs: int = 32768, c13: bool = True) -> "ReadAligner":
         idx = build_index(genome_codes, cfg.seed_len)
         return cls(genome=jnp.asarray(genome_codes), index=idx, cfg=cfg,
-                   batch_pairs=batch_pairs, c13=c13)
+                   batch_pairs=batch_pairs, c13=c13,
+                   gwords=jnp.asarray(pack_genome_words_np(genome_codes)),
+                   glen=int(len(genome_codes)))
 
     # ------------------------------------------------------------------
     def align(self, reads: Reads) -> PairAlignments:
@@ -249,7 +269,7 @@ class ReadAligner:
             rcseqs = revcomp_padded_np(seqs, np.repeat(plens, 2))
             u2r, nmr = pack_reads_np(rcseqs)
             dev = _align_pairs_packed(
-                self.genome, self.index.sorted_kmers,
+                self.gwords, self.index.sorted_kmers,
                 self.index.sorted_posflip, self.index.bucket_lo,
                 jnp.asarray(u2), jnp.asarray(nmask),
                 jnp.asarray(u2r), jnp.asarray(nmr),
@@ -260,7 +280,7 @@ class ReadAligner:
                 dhigh=cfg.distance_high,
                 bsteps=self.index.search_steps,
                 sbits=self.index.suffix_bits, c13=self.c13,
-                mh=cfg.max_seed_hits)
+                mh=cfg.max_seed_hits, G=self.glen)
             # start the device->host copy as soon as compute finishes so
             # the ~30 ms/buffer tunnel latency overlaps later batches'
             # device work instead of serializing in the fetch loop
@@ -284,7 +304,7 @@ class ReadAligner:
                 # compaction overflow (pathological multi-mapping or
                 # ultra-gappy batch): re-run through the uncompacted path
                 full = _align_pairs_device(
-                    self.genome, self.index.sorted_kmers,
+                    self.gwords, self.index.sorted_kmers,
                     self.index.sorted_posflip, self.index.bucket_lo,
                     jnp.asarray(seqs),
                     jnp.asarray(plens), seed_len=cfg.seed_len,
@@ -293,7 +313,7 @@ class ReadAligner:
                     dlow=cfg.distance_low, dhigh=cfg.distance_high,
                     bsteps=self.index.search_steps,
                     sbits=self.index.suffix_bits,
-                    mh=cfg.max_seed_hits)
+                    mh=cfg.max_seed_hits, G=self.glen)
                 full = jax.tree_util.tree_map(np.asarray, full)
                 if self.c13:
                     # np.asarray views of jax arrays are read-only
@@ -332,7 +352,7 @@ def _expand_full(res, start: int, cnt: int, L: int) -> dict:
 
 
 def _window_slices(genome: jax.Array, start: jax.Array, WL: int,
-                   P0: int) -> jax.Array:
+                   P0: int, G=None) -> jax.Array:
     """Per-row contiguous genome windows, 32-byte-aligned-row gather.
 
     out[i] = genome[start[i] : start[i]+WL] with out-of-range bases = 4.
@@ -344,22 +364,33 @@ def _window_slices(genome: jax.Array, start: jax.Array, WL: int,
     shifting in registers runs ~7 ms.  The int32 packing of the genome is
     recomputed per call — pure vector ops, fused and negligible next to
     the gather."""
-    G = genome.shape[0]
     B = start.shape[0]
-    FP = (P0 + 31) // 32 * 32
+    if G is not None:
+        # production path: `genome` IS the precomputed word table from
+        # pack_genome_words_np (host-packed once at build; the in-jit
+        # packing below either OOMs at big genomes — XLA materializes
+        # the [T/4, 4] intermediate as T(8,128), 32x padded, 25.6 GB at
+        # 200 Mb — or, expressed as strided slices, gets re-fused INTO
+        # the row gather 4x, 33 ms/batch measured)
+        FP = WORDS_FP
+        words = genome
+    else:
+        G = genome.shape[0]
+        FP = (P0 + 31) // 32 * 32
+        T = (FP + G + FP + 32 * ((WL + 62) // 32) + 31) // 32 * 32
+        gp = jnp.concatenate([
+            jnp.full((FP,), 4, jnp.int8), genome,
+            jnp.full((T - FP - G,), 4, jnp.int8)])
+        v = gp.reshape(-1, 4).astype(jnp.int32)
+        words = (v[:, 0] | (v[:, 1] << 8) | (v[:, 2] << 16)
+                 | (v[:, 3] << 24)).reshape(-1, 8)   # [T/32, 8]
     NR = (WL + 62) // 32                 # rows covering WL + byte phase
     NWv = (WL + 3) // 4 + 1              # words covering WL + word phase
     assert NWv + 7 <= NR * 8
-    T = (FP + G + FP + 32 * NR + 31) // 32 * 32
-    gp = jnp.concatenate([
-        jnp.full((FP,), 4, jnp.int8), genome,
-        jnp.full((T - FP - G,), 4, jnp.int8)])
-    # strided 1-D slices, NOT gp.reshape(-1, 4): XLA lays a [T/4, 4]
-    # int32 intermediate out as T(8,128) (minor dim padded 4 -> 128), a
-    # 32x blowup that OOMs HBM at a 200 Mb genome (25.6 GB observed)
-    g32 = gp.astype(jnp.int32)
-    words = (g32[0::4] | (g32[1::4] << 8) | (g32[2::4] << 16)
-             | (g32[3::4] << 24)).reshape(-1, 8)     # [T/32, 8]
+    if words is genome:
+        # precomputed table: the BACK pad must absorb the row-gather
+        # overrun (the compat path sizes its tail by 32*NR instead)
+        assert WL + 64 <= WORDS_FP
     lo = jnp.clip(start + FP, 0, G + FP).astype(jnp.int32)
     rows = words[(lo >> 5)[:, None] + jnp.arange(NR, dtype=jnp.int32)]
     ww = rows.reshape(B, NR * 8)
@@ -379,10 +410,10 @@ def _window_slices(genome: jax.Array, start: jax.Array, WL: int,
 
 @partial(jax.jit, static_argnames=("seed_len", "stride", "pad", "C", "K",
                                    "dlow", "dhigh", "bsteps", "sbits",
-                                   "mh"))
+                                   "mh", "G"))
 def _align_pairs_device(genome, sorted_kmers, sorted_posflip, bucket_lo,
                         seqs, plens, *, seed_len, stride, pad, C, K, dlow,
-                        dhigh, bsteps, sbits, mh=8):
+                        dhigh, bsteps, sbits, mh=8, G=None):
     """One batch of P pairs -> top-K pair alignments per pair.
 
     Full-layout path (fallback + tests): computes the reverse complement
@@ -393,12 +424,12 @@ def _align_pairs_device(genome, sorted_kmers, sorted_posflip, bucket_lo,
     return _align_core(genome, sorted_kmers, sorted_posflip, bucket_lo,
                        seqs, rc, plens, seed_len=seed_len, stride=stride,
                        pad=pad, C=C, K=K, dlow=dlow, dhigh=dhigh,
-                       bsteps=bsteps, sbits=sbits, mh=mh)
+                       bsteps=bsteps, sbits=sbits, mh=mh, G=G)
 
 
 def _align_core(genome, sorted_kmers, sorted_posflip, bucket_lo,
                 seqs, rc, plens, *, seed_len, stride, pad, C, K, dlow,
-                dhigh, bsteps, sbits, mh=8):
+                dhigh, bsteps, sbits, mh=8, G=None):
     R, L = seqs.shape            # R = 2P (mate-interleaved)
     P = R // 2
     W = 2 * pad
@@ -453,7 +484,8 @@ def _align_core(genome, sorted_kmers, sorted_posflip, bucket_lo,
     diag_safe = jnp.where(cvalid, diag_s_top[:TOP], 0)
     rr = top % R                                     # read row of each slot
     qidx = orient_top[:TOP] * R + rr                 # row in qseqs
-    windows = _window_slices(genome, diag_safe - pad, WL, L + W)
+    windows = _window_slices(genome, diag_safe - pad, WL, L + W,
+                             G=G)
     creads = qseqs[qidx]
     clens = qlens[qidx]
     score_min = jnp.ceil(
@@ -731,11 +763,11 @@ def unpack_dense(buf: np.ndarray, P: int) -> dict:
 
 @partial(jax.jit, static_argnames=("L", "seed_len", "stride", "pad", "C",
                                    "K", "dlow", "dhigh", "bsteps", "sbits",
-                                   "c13", "dense", "mh"))
+                                   "c13", "dense", "mh", "G"))
 def _align_pairs_packed(genome, sorted_kmers, sorted_posflip, bucket_lo, u2,
                         nmask, u2r, nmr, plens, *, L, seed_len, stride, pad,
                         C, K, dlow, dhigh, bsteps, sbits, c13, dense=True,
-                        mh=8):
+                        mh=8, G=None):
     """Tunnel-optimized batch: 2-bit packed reads (forward AND host-side
     reverse complement) in, first-segment + overflow-buffer records out,
     C13 ratio filter applied on device.
@@ -750,7 +782,7 @@ def _align_pairs_packed(genome, sorted_kmers, sorted_posflip, bucket_lo, u2,
     out = _align_core(
         genome, sorted_kmers, sorted_posflip, bucket_lo, seqs, rc, plens,
         seed_len=seed_len, stride=stride, pad=pad, C=C, K=K, dlow=dlow,
-        dhigh=dhigh, bsteps=bsteps, sbits=sbits, mh=mh)
+        dhigh=dhigh, bsteps=bsteps, sbits=sbits, mh=mh, G=G)
     if c13:
         # C13 (AlignGraph.cpp:1261): both mates (se-ss-I)/size >= 0.6 and
         # (te-ts-D)/(te-ts) >= 0.6; 0.6 == 3/5 so the compare is exact in

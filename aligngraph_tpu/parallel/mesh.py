@@ -47,12 +47,17 @@ def make_mesh(n_devices: Optional[int] = None, axis: str = "dp") -> Mesh:
 def make_sharded_aligner(mesh: Mesh, *, L: int, seed_len=_DEF.seed_len,
                          stride=_DEF.seed_stride, pad=_DEF.band_pad,
                          C=_DEF.max_candidates, K=ra.MAX_PAIR_HITS, dlow=0,
-                         dhigh=99999, bsteps=8, sbits=6, c13=True):
+                         dhigh=99999, bsteps=8, sbits=6, c13=True,
+                         G=None):
     """Build the jitted multi-chip read-align step over the PRODUCTION
     align program.
 
-    Input shardings: (genome, sorted_kmers, sorted_posflip, bucket_lo)
-    replicated; (u2, nmask, u2r, nmr) dp-sharded on rows (2 rows per
+    Pass G = genome length and feed the first argument with
+    read_aligner.pack_genome_words_np(genome) (the production word
+    table); with G=None the raw int8 genome is accepted (compat).
+
+    Input shardings: (genome words, sorted_kmers, sorted_posflip,
+    bucket_lo) replicated; (u2, nmask, u2r, nmr) dp-sharded on rows (2 rows per
     pair); plens dp-sharded.  Output: the packed record dict of
     _align_pairs_packed, each leaf dp-sharded on its leading axis (slot
     tables are per-shard; slot_id values index the SHARD-LOCAL (pair, k)
@@ -66,7 +71,7 @@ def make_sharded_aligner(mesh: Mesh, *, L: int, seed_len=_DEF.seed_len,
             genome, sorted_kmers, sorted_posflip, bucket_lo, u2, nmask,
             u2r, nmr, plens, L=L, seed_len=seed_len, stride=stride,
             pad=pad, C=C, K=K, dlow=dlow, dhigh=dhigh, bsteps=bsteps,
-            sbits=sbits, c13=c13, dense=False)
+            sbits=sbits, c13=c13, dense=False, G=G)
         # buf words 0/1 are the shard-local n_valid / n_ovf counters
         return {"buf": buf,
                 "n_valid_total": jax.lax.psum(buf[0], axis)[None],

@@ -37,10 +37,10 @@ def main():
               dlow=cfg.distance_low, dhigh=cfg.distance_high,
               bsteps=idx.search_steps, sbits=idx.suffix_bits)
     lowered = ra._align_pairs_packed.lower(
-        al.genome, idx.sorted_kmers, idx.sorted_posflip, idx.bucket_lo,
+        al.gwords, idx.sorted_kmers, idx.sorted_posflip, idx.bucket_lo,
         jnp.asarray(u2), jnp.asarray(nmask), jnp.asarray(u2r),
         jnp.asarray(nmr), jnp.asarray(plens), L=L,
-        c13=True, **kw)
+        c13=True, G=len(ref), **kw)
     txt = lowered.compile().as_text()
     with open("/tmp/packed_hlo.txt", "w") as f:
         f.write(txt)

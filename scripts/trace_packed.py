@@ -46,9 +46,9 @@ def main():
               bsteps=idx.search_steps, sbits=idx.suffix_bits)
 
     def run():
-        out = ra._align_pairs_packed(al.genome, idx.sorted_kmers,
+        out = ra._align_pairs_packed(al.gwords, idx.sorted_kmers,
                                      idx.sorted_posflip, idx.bucket_lo,
-                                     u2_d, nm_d, u2r_d, nmr_d, plens_d, L=L, c13=True,
+                                     u2_d, nm_d, u2r_d, nmr_d, plens_d, L=L, c13=True, G=len(ref),
                                      **kw)
         jax.block_until_ready(out)
 
